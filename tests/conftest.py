@@ -1,0 +1,16 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh with x64.
+
+The driver benches on a real TPU chip; tests validate numerics (float64 on
+CPU against oracles) and multi-device sharding (8 virtual CPU devices).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
