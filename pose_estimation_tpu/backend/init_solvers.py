@@ -1,0 +1,150 @@
+"""The 4-stage visual-inertial initializer, each stage a small LM solve.
+
+Re-design of `Optimizer::{initialGyrBias, initialGravityVelocity,
+initialAlignment, initialAccBias}` (`/root/reference/src/optimizer.cpp:
+183-329`). Inputs are plain stacked arrays (R [W,3,3], v/p [W,3]) plus W-1
+stacked IMU constraints from the SfM bootstrap; each stage returns the solved
+increment(s), to be applied by the host FSM (set bias, repropagate, rotate
+states) exactly as the reference does after each solve.
+
+Note: the reference's `initialAccBias` passes the preintegrator's *latest*
+constraint for every window pair (`optimizer.cpp:312`) rather than the pair's
+own constraint; we use the pair's own constraint (`ics[i]`), which is the
+evidently intended semantics (the same loop in `initialGravityVelocity:221`
+uses `_imuConstraint[i]`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pose_estimation_tpu.backend import lm as lm_mod
+from pose_estimation_tpu.backend import residuals as res
+
+
+def _stack_map(ics, k):
+    return jax.tree.map(lambda a: a[k], ics)
+
+
+def solve_gyr_bias(R: jax.Array, ics, max_iterations: int = 50):
+    """delta_bg [3] from W-1 rotation residuals (`optimizer.cpp:183-206`).
+
+    Huber(1.0) loss per residual block.
+    """
+    w = R.shape[0]
+    dtype = R.dtype
+    n_blocks = w - 1
+
+    jacs = jnp.stack(
+        [res.gyr_bias_jacobian(R[i], R[i + 1], _stack_map(ics, i)) for i in range(n_blocks)]
+    )  # [B,3,3]
+    jac = jacs.reshape(n_blocks * 3, 3)
+
+    def residual_fn(x):
+        rs = [
+            res.gyr_bias_residual(x, R[i], R[i + 1], _stack_map(ics, i))
+            for i in range(n_blocks)
+        ]
+        return jnp.concatenate(rs)
+
+    def weight_fn(r):
+        blocks = r.reshape(n_blocks, 3)
+        wts = lm_mod.huber_block_weights(blocks, jnp.ones(n_blocks, bool))
+        return jnp.repeat(wts[:, None], 3, axis=1).reshape(-1)
+
+    x, info = lm_mod.lm_solve(
+        residual_fn, jac, jnp.zeros(3, dtype), weight_fn,
+        lm_mod.LMOptions(max_iterations=max_iterations),
+    )
+    return x, info
+
+
+def solve_gravity_velocity(R, p, ics, max_iterations: int = 50):
+    """(gravity_estimate [3], delta_v [W,3]) — `optimizer.cpp:208-240`.
+
+    Parameters x = [dg(3), dv_0(3) .. dv_{W-1}(3)]; residuals are linear in x
+    so LM converges in one accepted step.
+    """
+    w = R.shape[0]
+    dtype = R.dtype
+    n_blocks = w - 1
+    n = 3 + 3 * w
+
+    jac = jnp.zeros((6 * n_blocks, n), dtype)
+    for i in range(n_blocks):
+        jg, jvi, jvj = res.gravity_velocity_jacobians(R[i], _stack_map(ics, i))
+        r0 = 6 * i
+        jac = jac.at[r0 : r0 + 6, 0:3].set(jg)
+        jac = jac.at[r0 : r0 + 6, 3 + 3 * i : 6 + 3 * i].set(jvi)
+        jac = jac.at[r0 : r0 + 6, 3 + 3 * (i + 1) : 6 + 3 * (i + 1)].set(jvj)
+
+    def residual_fn(x):
+        dg = x[0:3]
+        dv = x[3:].reshape(w, 3)
+        rs = [
+            res.gravity_velocity_residual(
+                dg, dv[i], dv[i + 1], R[i], p[i], p[i + 1], _stack_map(ics, i)
+            )
+            for i in range(n_blocks)
+        ]
+        return jnp.concatenate(rs)
+
+    def weight_fn(r):
+        blocks = r.reshape(n_blocks, 6)
+        wts = lm_mod.huber_block_weights(blocks, jnp.ones(n_blocks, bool))
+        return jnp.repeat(wts[:, None], 6, axis=1).reshape(-1)
+
+    x, info = lm_mod.lm_solve(
+        residual_fn, jac, jnp.zeros(n, dtype), weight_fn,
+        lm_mod.LMOptions(max_iterations=max_iterations),
+    )
+    return x[0:3], x[3:].reshape(w, 3), info
+
+
+def solve_alignment(init_g: jax.Array, unit_g: jax.Array, axes, max_iterations: int = 50):
+    """2-DoF rotation aligning the estimated gravity direction with the world
+    gravity axis (`optimizer.cpp:242-304`). Returns delta_r [3] (full tangent,
+    zeros on the fixed axis)."""
+    dtype = init_g.dtype
+    jac = res.alignment_jacobian(init_g, axes)
+
+    def residual_fn(x):
+        return res.alignment_residual(x, init_g, unit_g, axes)
+
+    x, info = lm_mod.lm_solve(
+        residual_fn, jac, jnp.zeros(2, dtype), None,
+        lm_mod.LMOptions(max_iterations=max_iterations),
+    )
+    delta_r = jnp.zeros(3, dtype).at[axes[0]].set(x[0]).at[axes[1]].set(x[1])
+    return delta_r, info
+
+
+def solve_acc_bias(R, v, p, ics, gravity, max_iterations: int = 50):
+    """delta_ba [3] — `optimizer.cpp:306-329` (with per-pair constraints)."""
+    w = R.shape[0]
+    dtype = R.dtype
+    n_blocks = w - 1
+
+    jacs = jnp.stack([res.acc_bias_jacobian(_stack_map(ics, i)) for i in range(n_blocks)])
+    jac = jacs.reshape(n_blocks * 6, 3)
+
+    def residual_fn(x):
+        rs = [
+            res.acc_bias_residual(
+                x, R[i], v[i], v[i + 1], p[i], p[i + 1], _stack_map(ics, i), gravity
+            )
+            for i in range(n_blocks)
+        ]
+        return jnp.concatenate(rs)
+
+    def weight_fn(r):
+        blocks = r.reshape(n_blocks, 6)
+        wts = lm_mod.huber_block_weights(blocks, jnp.ones(n_blocks, bool))
+        return jnp.repeat(wts[:, None], 6, axis=1).reshape(-1)
+
+    x, info = lm_mod.lm_solve(
+        residual_fn, jac, jnp.zeros(3, dtype), weight_fn,
+        lm_mod.LMOptions(max_iterations=max_iterations),
+    )
+    return x, info

@@ -1,0 +1,161 @@
+"""Dense Levenberg-Marquardt trust-region solver in JAX.
+
+TPU-native replacement for the vendored Ceres 1.14 trust-region minimizer
+(`/root/reference/thirdparty/ceres-solver-1.14.0/internal/ceres/
+{trust_region_minimizer,levenberg_marquardt_strategy}.cc`) for the dense
+problems the reference solves (DENSE_SCHUR motion-only BA with <= 60 params
+and the four DENSE_QR init problems).
+
+Key structural fact exploited: the reference's analytic Jacobians do not
+depend on the optimization increments (they are evaluated from the stored
+window state only — see `cost-functions.hpp:332,343` which use `R_i/R_j`
+without the applied deltas), so J is CONSTANT across LM iterations. Each
+iteration only re-evaluates the residual vector r(x) and the IRLS (Huber)
+weights. The whole solve is one `lax.while_loop` — no host round trips.
+
+Step update: solve (J^T W J + lambda * diag(J^T W J)) s = -J^T W r, accept on
+Ceres' gain-ratio rule, radius update eta' = eta * max(1/3, 1-(2 rho-1)^3).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LMOptions(NamedTuple):
+    max_iterations: int = 20
+    initial_lambda: float = 1e-4          # Ceres: 1/initial_radius, radius=1e4
+    min_lambda: float = 1e-16
+    max_lambda: float = 1e32
+    min_relative_decrease: float = 1e-3   # Ceres default
+    function_tolerance: float = 1e-6      # Ceres default
+    parameter_tolerance: float = 1e-8     # Ceres default
+
+
+class LMState(NamedTuple):
+    x: jax.Array
+    cost: jax.Array
+    lam: jax.Array
+    nu: jax.Array        # rejection growth factor
+    it: jax.Array
+    done: jax.Array
+    accepted: jax.Array  # total accepted steps
+
+
+def _weighted_cost(r, w):
+    return 0.5 * jnp.sum(w * r * r)
+
+
+def lm_solve(
+    residual_fn: Callable[[jax.Array], jax.Array],
+    jac: jax.Array,                                  # [m, n] constant
+    x0: jax.Array,                                   # [n]
+    weight_fn: Callable[[jax.Array], jax.Array] | None = None,
+    options: LMOptions = LMOptions(),
+):
+    """Minimize 0.5 * || sqrt(w(r)) r(x) ||^2 with frozen Jacobian `jac`.
+
+    weight_fn maps the residual vector -> per-residual IRLS weights (Huber
+    etc.); defaults to unit weights. Returns (x, info dict).
+    """
+    if weight_fn is None:
+        weight_fn = lambda r: jnp.ones_like(r)
+
+    r0 = residual_fn(x0)
+    w0 = weight_fn(r0)
+    cost0 = _weighted_cost(r0, w0)
+    dtype = x0.dtype
+
+    def body(s: LMState) -> LMState:
+        r = residual_fn(s.x)
+        w = weight_fn(r)
+        jtw = jac.T * w[None, :]
+        h = jtw @ jac                      # [n, n]
+        g = jtw @ r                        # [n]
+        d = jnp.diag(h)
+        d = jnp.where(d > 0, d, 1.0)       # guard unobserved params
+        h_damped = h + s.lam * jnp.diag(d)
+        # Solve via Cholesky; fall back to stronger damping on failure is
+        # implicit: lam grows on rejected steps.
+        chol = jnp.linalg.cholesky(h_damped + 1e-32 * jnp.eye(h.shape[0], dtype=dtype))
+        step = -jax.scipy.linalg.cho_solve((chol, True), g)
+        bad_chol = ~jnp.all(jnp.isfinite(step))
+        step = jnp.where(bad_chol, jnp.zeros_like(step), step)
+
+        x_new = s.x + step
+        r_new = residual_fn(x_new)
+        w_new = weight_fn(r_new)
+        new_cost = _weighted_cost(r_new, w_new)
+
+        # Predicted reduction of the damped quadratic model (Ceres
+        # levenberg_marquardt_strategy.cc): -g's - 0.5 s'Hs
+        model_decrease = -(g @ step) - 0.5 * step @ (h @ step)
+        model_decrease = jnp.maximum(model_decrease, 1e-32)
+        rho = (s.cost - new_cost) / model_decrease
+
+        accept = (rho > options.min_relative_decrease) & jnp.isfinite(new_cost) & ~bad_chol
+
+        # Radius update (Ceres): on accept lam *= max(1/3, 1-(2rho-1)^3),
+        # nu=2; on reject lam *= nu, nu *= 2.
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_acc = jnp.clip(s.lam * shrink, options.min_lambda, options.max_lambda)
+        lam_rej = jnp.clip(s.lam * s.nu, options.min_lambda, options.max_lambda)
+
+        # Convergence tests (only meaningful on accepted steps).
+        cost_change = jnp.abs(s.cost - new_cost)
+        f_conv = cost_change <= options.function_tolerance * (s.cost + 1e-32)
+        x_norm = jnp.linalg.norm(s.x)
+        p_conv = jnp.linalg.norm(step) <= options.parameter_tolerance * (
+            x_norm + options.parameter_tolerance
+        )
+        done = accept & (f_conv | p_conv)
+
+        return LMState(
+            x=jnp.where(accept, x_new, s.x),
+            cost=jnp.where(accept, new_cost, s.cost),
+            lam=jnp.where(accept, lam_acc, lam_rej),
+            nu=jnp.where(accept, jnp.asarray(2.0, dtype), s.nu * 2.0),
+            it=s.it + 1,
+            done=done,
+            accepted=s.accepted + accept.astype(jnp.int32),
+        )
+
+    def cond(s: LMState):
+        return (~s.done) & (s.it < options.max_iterations)
+
+    init = LMState(
+        x=x0,
+        cost=cost0,
+        lam=jnp.asarray(options.initial_lambda, dtype),
+        nu=jnp.asarray(2.0, dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        accepted=jnp.asarray(0, jnp.int32),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    info = {
+        "initial_cost": cost0,
+        "final_cost": final.cost,
+        "iterations": final.it,
+        "accepted_steps": final.accepted,
+        "lambda": final.lam,
+    }
+    return final.x, info
+
+
+def huber_block_weights(r_blocks: jax.Array, mask: jax.Array, delta: float = 1.0):
+    """Per-block Huber IRLS weights, Ceres `HuberLoss(1.0)` convention.
+
+    r_blocks: [..., k] whitened residual blocks; mask: [...] validity.
+    Ceres applies the loss to the squared norm s = ||r_block||^2:
+        rho'(s) = 1            if s <= delta^2
+                  delta/sqrt(s) otherwise
+    Returns weights [...] (0 where masked).
+    """
+    s = jnp.sum(r_blocks * r_blocks, axis=-1)
+    d2 = delta * delta
+    w = jnp.where(s <= d2, 1.0, delta / jnp.sqrt(jnp.maximum(s, 1e-32)))
+    return jnp.where(mask, w, 0.0)

@@ -1,0 +1,152 @@
+"""FAST-9/16 corner scoring + NMS + spatially-uniform top-K selection.
+
+TPU-native re-design of the keypoint-detection half of the vendored
+ORB-SLAM2 extractor (`/root/reference/src/ORBextractor.cc`):
+
+* `ComputeKeyPointsOctTree` (:765-853) runs OpenCV FAST per 30x30 cell with
+  a threshold fallback 20 -> 7. Here the FAST decision + score are computed
+  for EVERY pixel at once as pure VPU tensor math (16 shifted images, circular
+  9-run min/max via a log-depth min-tree), and the per-cell fallback becomes a
+  mask: a cell keeps its strong (>= th_hi) corners if it has any, else its
+  weak (>= th_lo) ones.
+* `DistributeOctTree` (:539-763) greedily splits a quadtree keeping the best
+  corner per node. The lattice-friendly equivalent here: 3x3 NMS, then top-k
+  per fixed cell, then global top-K by score — same spatial-uniformity
+  semantics, fully static shapes.
+
+Score follows OpenCV's FAST score: the largest t for which the pixel is
+still a corner = max over contiguous 9-arcs of the min absolute
+center-difference along the arc.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3, clockwise from 12 o'clock: (dy, dx).
+CIRCLE = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+
+
+def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift with edge clamping (same shape)."""
+    h, w = img.shape
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return img[ys][:, xs]
+
+
+def fast_score(img: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel FAST-9/16 corner score. img [H,W] float -> [H,W] float.
+
+    score = max(arc_min over bright 9-arcs, arc_min over dark 9-arcs), i.e.
+    the pixel is a FAST corner at threshold t iff score > t.
+    """
+    diffs = jnp.stack([_shift2d(img, dy, dx) for dy, dx in CIRCLE]) - img[None]
+
+    def arc_min9(d):
+        # m9[i] = min(d[i..i+8 mod 16]) via a min tree: 3 = 1+roll1+roll2,
+        # 9 = 3 + roll3(3) + roll6(3)
+        m3 = jnp.minimum(jnp.minimum(d, jnp.roll(d, -1, 0)), jnp.roll(d, -2, 0))
+        m9 = jnp.minimum(
+            jnp.minimum(m3, jnp.roll(m3, -3, 0)), jnp.roll(m3, -6, 0)
+        )
+        return jnp.max(m9, axis=0)
+
+    bright = arc_min9(diffs)      # > t  => bright corner
+    dark = arc_min9(-diffs)       # > t  => dark corner
+    return jnp.maximum(bright, dark)
+
+
+def nms3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-max suppression mask (ties broken toward the top-left)."""
+    strictly_before = True
+    keep = jnp.ones_like(score, dtype=bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                strictly_before = False
+                continue
+            nb = _shift2d(score, dy, dx)
+            if strictly_before:
+                keep &= score > nb  # earlier neighbors must be strictly less
+            else:
+                keep &= score >= nb
+    return keep
+
+
+class Keypoints(NamedTuple):
+    xy: jnp.ndarray      # [K, 2] float (x, y) in this image's coords
+    score: jnp.ndarray   # [K]
+    valid: jnp.ndarray   # [K] bool
+
+
+def select_keypoints(
+    score: jnp.ndarray,
+    th_hi: float,
+    th_lo: float,
+    k_total: int,
+    cell: int = 16,
+    border: int = 19,
+    k_per_cell: int = 4,
+) -> Keypoints:
+    """NMS + per-cell threshold fallback + per-cell top-k + global top-K.
+
+    border matches ORB-SLAM2's EDGE_THRESHOLD=19 detection margin
+    (`ORBextractor.cc:770-773`).
+    """
+    h, w = score.shape
+    neg = jnp.float32(-1e9)
+
+    keep = nms3(score)
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    inb = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+
+    s = jnp.where(keep & inb, score, neg)
+
+    # pad to cell multiples
+    hp = -(-h // cell) * cell
+    wp = -(-w // cell) * cell
+    s = jnp.pad(s, ((0, hp - h), (0, wp - w)), constant_values=neg)
+    ncy, ncx = hp // cell, wp // cell
+    cells = s.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(
+        ncy * ncx, cell * cell
+    )
+
+    # threshold fallback per cell (`ORBextractor.cc:809-815`)
+    cell_max = jnp.max(cells, axis=1, keepdims=True)
+    has_strong = cell_max > th_hi
+    eligible = jnp.where(has_strong, cells > th_hi, cells > th_lo)
+    cand = jnp.where(eligible, cells, neg)
+
+    # top-k per cell
+    top_s, top_i = _topk(cand, k_per_cell)
+    # cell-local -> global pixel coords
+    cy = jnp.arange(ncy * ncx) // ncx
+    cx = jnp.arange(ncy * ncx) % ncx
+    py = cy[:, None] * cell + top_i // cell
+    px = cx[:, None] * cell + top_i % cell
+
+    flat_s = top_s.reshape(-1)
+    flat_x = px.reshape(-1)
+    flat_y = py.reshape(-1)
+
+    # global top-K
+    k_total = min(k_total, flat_s.shape[0])
+    g_s, g_i = _topk(flat_s[None, :], k_total)
+    g_s, g_i = g_s[0], g_i[0]
+    xy = jnp.stack(
+        [flat_x[g_i].astype(jnp.float32), flat_y[g_i].astype(jnp.float32)], axis=-1
+    )
+    return Keypoints(xy=xy, score=g_s, valid=g_s > neg / 2)
+
+
+def _topk(x: jnp.ndarray, k: int):
+    import jax
+
+    return jax.lax.top_k(x, k)

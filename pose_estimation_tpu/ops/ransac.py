@@ -1,0 +1,106 @@
+"""Fixed-budget vectorized RANSAC: fundamental matrix (8-point) outlier
+rejection, replacing `cv::findFundamentalMat(..., FM_RANSAC)`.
+
+The reference gates every matcher output through fundamental-matrix RANSAC
+(`/root/reference/src/feature-tracker.cpp:189,279,476`; OpenCV defaults:
+3px reprojection threshold, 0.99 confidence, adaptive iteration count).
+Adaptive, data-dependent iteration counts are hostile to XLA, so this runs a
+FIXED batch of hypotheses entirely in parallel: sample B 8-tuples, solve all
+8-point problems as one batched eigenproblem, score all hypotheses against
+all points with one matmul-shaped reduction, pick the best. B=64 hypotheses
+exceed the 0.99-confidence iteration count for inlier ratios >= 0.5 (the
+regime these gated matches live in).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RansacResult(NamedTuple):
+    inliers: jnp.ndarray   # [N] bool
+    model: jnp.ndarray     # [3,3] best fundamental matrix
+    n_inliers: jnp.ndarray
+
+
+def _normalize(pts, mask):
+    """Hartley normalization over valid points: zero mean, mean dist sqrt2."""
+    wsum = jnp.maximum(jnp.sum(mask), 1)
+    mean = jnp.sum(jnp.where(mask[:, None], pts, 0.0), axis=0) / wsum
+    d = jnp.linalg.norm(pts - mean, axis=1)
+    scale = jnp.sqrt(2.0) / jnp.maximum(
+        jnp.sum(jnp.where(mask, d, 0.0)) / wsum, 1e-9
+    )
+    t = jnp.array(
+        [[scale, 0.0, -scale * mean[0]],
+         [0.0, scale, -scale * mean[1]],
+         [0.0, 0.0, 1.0]], pts.dtype,
+    )
+    return (pts - mean) * scale, t
+
+
+def _eight_point(x1, x2):
+    """Batched 8-point algorithm. x1, x2: [B, 8, 2] -> F [B, 3, 3]."""
+    u1, v1 = x1[..., 0], x1[..., 1]
+    u2, v2 = x2[..., 0], x2[..., 1]
+    ones = jnp.ones_like(u1)
+    # constraint rows: x2^T F x1 = 0
+    a = jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=-1
+    )  # [B, 8, 9]
+    ata = jnp.einsum("bij,bik->bjk", a, a)
+    _, vecs = jnp.linalg.eigh(ata)
+    f = vecs[..., 0].reshape(-1, 3, 3)
+    # rank-2 projection via SVD
+    u, s, vt = jnp.linalg.svd(f)
+    s = s.at[..., 2].set(0.0)
+    return u @ (s[..., None] * vt)
+
+
+def _sampson_dist(f, pts1, pts2):
+    """Sampson epipolar distance. f [B,3,3], pts [N,2] -> [B, N]."""
+    ones = jnp.ones((pts1.shape[0], 1), pts1.dtype)
+    x1 = jnp.concatenate([pts1, ones], axis=1)      # [N,3]
+    x2 = jnp.concatenate([pts2, ones], axis=1)
+    fx1 = jnp.einsum("bij,nj->bni", f, x1)          # [B,N,3]
+    ftx2 = jnp.einsum("bji,nj->bni", f, x2)
+    num = jnp.einsum("ni,bni->bn", x2, fx1) ** 2
+    den = (
+        fx1[..., 0] ** 2 + fx1[..., 1] ** 2 + ftx2[..., 0] ** 2 + ftx2[..., 1] ** 2
+    )
+    return num / jnp.maximum(den, 1e-12)
+
+
+def fundamental_ransac(
+    pts1: jnp.ndarray,    # [N, 2]
+    pts2: jnp.ndarray,    # [N, 2]
+    mask: jnp.ndarray,    # [N] candidate validity
+    key: jax.Array,
+    n_hypotheses: int = 64,
+    threshold: float = 3.0,
+) -> RansacResult:
+    """Vectorized RANSAC inlier mask for the correspondence set."""
+    n = pts1.shape[0]
+    dtype = pts1.dtype
+
+    p1n, t1 = _normalize(pts1, mask)
+    p2n, t2 = _normalize(pts2, mask)
+
+    # sample valid indices with replacement, biased away from invalid slots
+    probs = mask.astype(dtype)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1e-9)
+    idx = jax.random.choice(key, n, shape=(n_hypotheses, 8), p=probs)
+    f_n = _eight_point(p1n[idx], p2n[idx])
+    # denormalize: F = T2^T Fn T1
+    f = jnp.einsum("ji,bjk,kl->bil", t2, f_n, t1)
+
+    d = _sampson_dist(f, pts1, pts2)                 # [B, N]
+    inl = (d < threshold * threshold) & mask[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    return RansacResult(
+        inliers=inl[best], model=f[best], n_inliers=counts[best]
+    )
