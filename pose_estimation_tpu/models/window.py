@@ -34,6 +34,10 @@ class WindowState(NamedTuple):
     is_keyframe: jax.Array      # scalar bool — last frame was a keyframe
     need_reinit: jax.Array      # scalar bool — bias corruption detected
     sum_imu_time: jax.Array     # scalar — IMU time since last keyframe
+    # Number of OPTIMIZED frames (the reference's `actualSize`,
+    # `optimizer.cpp:26`): frames at slots (W+1-n_act)..W are optimized, the
+    # slot just before them is the prior anchor. Grows 1 -> W after init.
+    n_act: jax.Array            # scalar int32 in [1, W]
 
 
 def _empty_ic(w: int, dtype) -> ImuConstraint:
@@ -60,6 +64,7 @@ def init_window(w: int = WINDOW_SIZE, dtype=jnp.float32) -> WindowState:
         is_keyframe=jnp.asarray(True),
         need_reinit=jnp.asarray(False),
         sum_imu_time=jnp.zeros((), dtype),
+        n_act=jnp.asarray(w, jnp.int32),
     )
 
 
@@ -169,5 +174,11 @@ def push_constraint(win: WindowState, ic_new: ImuConstraint, gravity: jax.Array)
             dbg=win.dbg.at[-1].set(0.0), dba=win.dba.at[-1].set(0.0), ics=ics,
         )
 
+    wsize = win.R.shape[0] - 1
+    new_n_act = jnp.where(
+        win.is_keyframe, jnp.minimum(win.n_act + 1, wsize), win.n_act
+    ).astype(jnp.int32)
     win = jax.lax.cond(win.is_keyframe, on_keyframe, on_nonkeyframe, win)
-    return win._replace(sum_imu_time=win.sum_imu_time + ic_new.dt)
+    return win._replace(
+        sum_imu_time=win.sum_imu_time + ic_new.dt, n_act=new_n_act
+    )

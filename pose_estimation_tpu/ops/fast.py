@@ -33,11 +33,9 @@ CIRCLE = (
 
 
 def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift with edge clamping (same shape)."""
-    h, w = img.shape
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    """Cyclic shift (cheap on TPU; the wrapped 3px edge ring lies outside the
+    FAST detection border and is masked by `select_keypoints`)."""
+    return jnp.roll(img, (-dy, -dx), axis=(0, 1))
 
 
 def fast_score(img: jnp.ndarray) -> jnp.ndarray:
@@ -140,8 +138,32 @@ def select_keypoints(
     k_total = min(k_total, flat_s.shape[0])
     g_s, g_i = _topk(flat_s[None, :], k_total)
     g_s, g_i = g_s[0], g_i[0]
+    gx = flat_x[g_i]
+    gy = flat_y[g_i]
+
+    # subpixel refinement: 1D quadratic fit on the raw score map along each
+    # axis (a quality upgrade over the reference, whose FAST corners are
+    # integer-quantized — ORBextractor.cc has no refinement)
+    def sc(yy, xx):
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        return score.reshape(-1)[yy * w + xx]
+
+    s0 = sc(gy, gx)
+    sl = sc(gy, gx - 1)
+    sr = sc(gy, gx + 1)
+    su = sc(gy - 1, gx)
+    sd = sc(gy + 1, gx)
+
+    def para(sm, s0, sp):
+        den = sm - 2.0 * s0 + sp
+        off = jnp.where(jnp.abs(den) > 1e-6, 0.5 * (sm - sp) / den, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx = para(sl, s0, sr)
+    dy = para(su, s0, sd)
     xy = jnp.stack(
-        [flat_x[g_i].astype(jnp.float32), flat_y[g_i].astype(jnp.float32)], axis=-1
+        [gx.astype(jnp.float32) + dx, gy.astype(jnp.float32) + dy], axis=-1
     )
     return Keypoints(xy=xy, score=g_s, valid=g_s > neg / 2)
 

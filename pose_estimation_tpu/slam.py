@@ -1,0 +1,372 @@
+"""VisualInertialSLAM: the host-side FSM orchestrating the jitted pipeline.
+
+Mirror of `cfsd::VisualInertialSLAM` (`/root/reference/src/
+visual-inertial-slam.cpp`): the same 5-state machine SYNCHRONIZING -> SFM ->
+INITIALIZING -> OK (+ re-initialization on bias corruption, which the
+reference detects but leaves disabled, `:53-57` — here it is implemented),
+the same ingestion API (`process`, `collect_imu_data`, `save_results`). All
+numerics run in jitted device programs; the host only sequences them and
+shuttles fixed-size inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from enum import Enum
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose_estimation_tpu.backend import init_solvers
+from pose_estimation_tpu.camera import CameraModel
+from pose_estimation_tpu.imu import preintegration as pre
+from pose_estimation_tpu.models import vio as vio_mod
+from pose_estimation_tpu.utils import lie
+from pose_estimation_tpu.utils.config import VIOConfig
+
+
+class State(Enum):
+    SYNCHRONIZING = 0
+    SFM = 1
+    INITIALIZING = 2
+    OK = 3
+    LOST = 4
+
+
+class SensorType(Enum):
+    ACCELEROMETER = 0
+    GYROSCOPE = 1
+
+
+class VisualInertialSLAM:
+    def __init__(self, cfg: VIOConfig, verbose: bool = False, seed: int = 0,
+                 reinit_on_bias_corruption: bool = True, dtype=jnp.float32):
+        self.cfg = cfg
+        self.verbose = verbose
+        self.reinit_on_bias_corruption = reinit_on_bias_corruption
+        self.cm = CameraModel.from_config(cfg)
+        self.consts, self.static = vio_mod.build_constants(cfg, self.cm, dtype)
+        dtype = self.static.dtype
+
+        self.state = State.SYNCHRONIZING
+        self.vio = vio_mod.init_vio_state(self.static)
+        self._key = jax.random.PRNGKey(seed)
+
+        # --- host-side ingestion (the reference's mutex-guarded queues) ---
+        self._gyr = None
+        self._acc = None
+        self._imu_ts: list[int] = []
+        self._imu_data: list[np.ndarray] = []  # [gyr(3), acc(3)]
+        self._dt_us = 1_000_000 // cfg.sampling_rate
+        self._synchronized = False
+
+        # --- SFM bootstrap collections ---
+        self._sfm_count = 0
+        self._ref_feats = None
+        self._sfm_R = []  # body-to-world (SfM world = initial body frame)
+        self._sfm_p = []
+        self._sfm_ics = []
+
+        # --- results (states.csv) ---
+        self._records: list[tuple] = []
+
+        # --- jitted entry points ---
+        self._ok_step = jax.jit(
+            functools.partial(
+                vio_mod.ok_step, consts=self.consts, static=self.static
+            )
+        )
+        self._bootstrap = jax.jit(
+            functools.partial(
+                vio_mod.bootstrap_frame, consts=self.consts, static=self.static
+            )
+        )
+        self._sfm_step = jax.jit(
+            functools.partial(
+                vio_mod.sfm_step, consts=self.consts, static=self.static
+            )
+        )
+        from pose_estimation_tpu.ops import orb, remap
+
+        def _seed_ref(img_l):
+            rect = remap.remap_bilinear(img_l, self.consts.map_l)
+            return orb.extract(rect, self.static.orb)
+
+        self._seed_ref = jax.jit(_seed_ref)
+        self._integrate = jax.jit(
+            functools.partial(pre.integrate_chunk, params=self.consts.imu)
+        )
+        self._finalize = jax.jit(
+            functools.partial(pre.finalize, params=self.consts.imu)
+        )
+        self._dtype = dtype
+
+    # ------------------------------------------------------------------ #
+    # ingestion (mirrors `collectImuData`, `visual-inertial-slam.cpp:158`)
+    # ------------------------------------------------------------------ #
+
+    def collect_imu_data(self, sensor: SensorType, timestamp: int, x, y, z):
+        if sensor == SensorType.ACCELEROMETER:
+            self._acc = np.array([x, y, z], np.float64)
+        else:
+            self._gyr = np.array([x, y, z], np.float64)
+        if self._acc is not None and self._gyr is not None:
+            self._imu_ts.append(int(timestamp))
+            self._imu_data.append(np.concatenate([self._gyr, self._acc]))
+            self._acc = None
+            self._gyr = None
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _pop_imu_chunk(self, img_ts: int):
+        """Consume queued samples up to the image timestamp (half-sample
+        tolerance, `imu-preintegrator.cpp:196`). Returns padded arrays."""
+        m = self.cfg.imu_chunk
+        take = 0
+        half = self._dt_us // 2 * 1000  # timestamps are ns in EuRoC
+        while take < len(self._imu_ts) and abs(img_ts - self._imu_ts[take]) > half:
+            if self._imu_ts[take] > img_ts:
+                break
+            take += 1
+        rows = self._imu_data[:take]
+        self._imu_ts = self._imu_ts[take:]
+        self._imu_data = self._imu_data[take:]
+        gyr = np.zeros((m, 3), np.float32)
+        acc = np.zeros((m, 3), np.float32)
+        mask = np.zeros(m, bool)
+        n = min(take, m)
+        if n:
+            arr = np.stack(rows[-m:] if take > m else rows)
+            gyr[:n] = arr[:, :3]
+            acc[:n] = arr[:, 3:]
+            mask[:n] = True
+        return jnp.asarray(gyr), jnp.asarray(acc), jnp.asarray(mask)
+
+    def _synchronize(self, img_ts: int) -> bool:
+        """Drop IMU samples predating the first image
+        (`imu-preintegrator.cpp:174-193`)."""
+        half = self._dt_us // 2 * 1000
+        if not self._imu_ts or img_ts < self._imu_ts[0]:
+            return False
+        while self._imu_ts and abs(img_ts - self._imu_ts[0]) > half:
+            self._imu_ts.pop(0)
+            self._imu_data.pop(0)
+            if not self._imu_ts:
+                return False
+        return True
+
+    # ------------------------------------------------------------------ #
+    # per-frame processing (mirrors `process`, `visual-inertial-slam.cpp:20`)
+    # ------------------------------------------------------------------ #
+
+    def process(self, gray_l: np.ndarray, gray_r: np.ndarray, img_ts: int) -> bool:
+        img_l = jnp.asarray(gray_l, self._dtype)
+        img_r = jnp.asarray(gray_r, self._dtype)
+
+        if self.state == State.SYNCHRONIZING:
+            if self._synchronize(img_ts):
+                self._ref_feats = self._seed_ref(img_l)
+                self.state = State.SFM
+                if self.verbose:
+                    print("[slam] synchronized; entering SFM")
+            return True
+
+        if self.state == State.SFM:
+            if self._sfm_count < self.cfg.window_size - 1:
+                gyr, acc, mask = self._pop_imu_chunk(img_ts)
+                self.vio = self.vio._replace(
+                    preint=self._integrate(
+                        self.vio.preint, gyr, acc, mask, self.vio.bg, self.vio.ba
+                    )
+                )
+                rvec, tvec, n_inl, feats_l = self._sfm_step(
+                    img_l, img_r,
+                    self._ref_feats.desc, self._ref_feats.xy,
+                    self._ref_feats.valid, self._next_key(),
+                )
+                r_np = np.asarray(rvec, np.float64)
+                t_np = np.asarray(tvec, np.float64)
+                if (
+                    np.linalg.norm(r_np) > self.cfg.sfm_rotation
+                    or np.linalg.norm(t_np) > self.cfg.sfm_translation
+                ):
+                    self._push_sfm(r_np, t_np)
+                    self.vio = self.vio._replace(preint=pre.init_state(self._dtype))
+                    self._sfm_count += 1
+                    self._ref_feats = feats_l
+                    if self.verbose:
+                        print(f"[slam] SFM frame {self._sfm_count} accepted "
+                              f"(|r|={np.linalg.norm(r_np):.4f}, "
+                              f"|p|={np.linalg.norm(t_np):.4f}, inl={int(n_inl)})")
+            else:
+                self._initialize(img_l, img_r, img_ts)
+            return True
+
+        if self.state == State.INITIALIZING:
+            self._initialize(img_l, img_r, img_ts)
+            return True
+
+        if self.state == State.OK:
+            gyr, acc, mask = self._pop_imu_chunk(img_ts)
+            if not bool(np.any(np.asarray(mask))):
+                if self.verbose:
+                    print("[slam] warning: no IMU samples for frame; skipping")
+                return False
+            self.vio, metrics = self._ok_step(
+                self.vio, img_l, img_r, gyr, acc, mask, self._next_key()
+            )
+            self._record(img_ts)
+            if self.verbose:
+                print(
+                    f"[slam] ts={img_ts} stereo={int(metrics['n_stereo'])} "
+                    f"tracked={int(metrics['n_tracked'])} "
+                    f"kf={bool(metrics['is_keyframe'])} "
+                    f"pool={int(metrics['pool_size'])} "
+                    f"ba_iters={int(metrics['ba_iters'])}"
+                )
+            if bool(metrics["need_reinit"]) and self.reinit_on_bias_corruption:
+                # the reference detects this and leaves the transition
+                # commented out (`visual-inertial-slam.cpp:53-57`)
+                if self.verbose:
+                    print("[slam] bias corrupted -> reinitializing")
+                self._reinitialize()
+            return True
+
+        return True  # LOST: relocalization is future work (as in reference)
+
+    # ------------------------------------------------------------------ #
+
+    def _push_sfm(self, r: np.ndarray, p: np.ndarray):
+        """`Map::pushSfm` (`src/map.cpp:53-70`) on host-side SfM chains."""
+        if not self._sfm_R:
+            self._sfm_R.append(np.eye(3))
+            self._sfm_p.append(np.zeros(3))
+        t_c1c2_R = np.asarray(lie.so3_exp(jnp.asarray(r)))
+        r_bc = np.asarray(self.consts.r_bc, np.float64)
+        p_bc = np.asarray(self.consts.p_bc, np.float64)
+        r_cb, p_cb = r_bc.T, -r_bc.T @ p_bc
+        # T_WB2 = T_WB1 * T_BC * T_C1C2 * T_CB
+        R1w, p1w = self._sfm_R[-1], self._sfm_p[-1]
+        Ra = R1w @ r_bc
+        pa = R1w @ p_bc + p1w
+        Rb = Ra @ t_c1c2_R
+        pb = Ra @ p + pa
+        Rc = Rb @ r_cb
+        pc = Rb @ p_cb + pb
+        self._sfm_R.append(Rc)
+        self._sfm_p.append(pc)
+        ic = self._finalize(self.vio.preint, self.vio.bg, self.vio.ba)
+        self._sfm_ics.append(ic)
+
+    def _initialize(self, img_l, img_r, img_ts):
+        """The 4-stage initializer (`visual-inertial-slam.cpp:68-110`)."""
+        w = self.cfg.window_size
+        R = jnp.asarray(np.stack(self._sfm_R), self._dtype)
+        p = jnp.asarray(np.stack(self._sfm_p), self._dtype)
+        v = jnp.zeros((w, 3), self._dtype)
+        ics = jax.tree.map(lambda *a: jnp.stack(a), *self._sfm_ics)
+
+        # 1. gyroscope bias
+        dbg, _ = init_solvers.solve_gyr_bias(R, ics)
+        new_bg = self.vio.bg + dbg
+        ics = jax.vmap(pre.repropagate, in_axes=(0, None, None))(
+            ics, dbg, jnp.zeros(3, self._dtype)
+        )
+        # 2. gravity + velocities (in the SfM/initial-body frame)
+        g_est, v, _ = init_solvers.solve_gravity_velocity(R, p, ics)
+        init_g_unit = g_est / jnp.linalg.norm(g_est)
+        # 3. alignment: rotate world so gravity matches the dataset axis
+        profile = self.cfg.profile
+        unit_g = jnp.asarray(profile.gravity_dir, self._dtype)
+        delta_r, _ = init_solvers.solve_alignment(
+            init_g_unit, unit_g, profile.alignment_axes
+        )
+        dR = lie.so3_exp(delta_r)
+        R = dR[None] @ R
+        v = jnp.einsum("ij,wj->wi", dR, v)
+        p = jnp.einsum("ij,wj->wi", dR, p)
+        # 4. accelerometer bias
+        dba, _ = init_solvers.solve_acc_bias(
+            R, v, p, ics, jnp.asarray(self.cfg.gravity, self._dtype)
+        )
+        new_ba = self.vio.ba + dba
+        ics = jax.vmap(pre.repropagate, in_axes=(0, None, None))(
+            ics, jnp.zeros(3, self._dtype), dba
+        )
+        if self.verbose:
+            print(f"[slam] init: bg={np.asarray(new_bg)} ba={np.asarray(new_ba)}")
+            print(f"[slam] init: gravity(initial frame)={np.asarray(g_est)}")
+
+        # Map::reset(0): keep the last two SfM frames as the new window seed
+        win = self.vio.win
+        win = win._replace(
+            R=win.R.at[-2].set(R[w - 2]).at[-1].set(R[w - 1]),
+            v=win.v.at[-2].set(v[w - 2]).at[-1].set(v[w - 1]),
+            p=win.p.at[-2].set(p[w - 2]).at[-1].set(p[w - 1]),
+            dbg=jnp.zeros_like(win.dbg),
+            dba=jnp.zeros_like(win.dba),
+            ics=jax.tree.map(
+                lambda a, s: a.at[-1].set(s[w - 2]), win.ics, ics
+            ),
+            n_act=jnp.asarray(1, jnp.int32),
+            is_keyframe=jnp.asarray(True),
+            sum_imu_time=jnp.zeros((), self._dtype),
+        )
+        self.vio = self.vio._replace(
+            win=win, preint=pre.init_state(self._dtype), bg=new_bg, ba=new_ba
+        )
+        # initial stereo matching + pool seed
+        self.vio, n_stereo = self._bootstrap(
+            self.vio, img_l, img_r, self._next_key()
+        )
+        self._record(img_ts)
+        self.state = State.OK
+        if self.verbose:
+            print(f"[slam] initialized; {int(n_stereo)} stereo features; OK")
+
+    def _reinitialize(self):
+        """Bias-corruption recovery: rerun the init solvers on the current
+        window (the re-init path the reference leaves disabled)."""
+        w = self.cfg.window_size
+        self._sfm_R = [np.asarray(self.vio.win.R[i]) for i in range(1, w + 1)]
+        self._sfm_p = [np.asarray(self.vio.win.p[i]) for i in range(1, w + 1)]
+        self._sfm_ics = [
+            jax.tree.map(lambda a: a[i], self.vio.win.ics) for i in range(1, w)
+        ]
+        self.vio = self.vio._replace(
+            bg=jnp.zeros(3, self._dtype), ba=jnp.zeros(3, self._dtype),
+            preint=pre.init_state(self._dtype),
+        )
+        self.state = State.INITIALIZING
+
+    # ------------------------------------------------------------------ #
+
+    def _record(self, img_ts: int):
+        win = self.vio.win
+        q = np.asarray(lie.mat_to_quat(win.R[-1]))
+        p = np.asarray(win.p[-1])
+        v = np.asarray(win.v[-1])
+        bg = np.asarray(win.ics.bg_i[-1] + win.dbg[-1])
+        ba = np.asarray(win.ics.ba_i[-1] + win.dba[-1])
+        self._records.append((img_ts, q, p, v, bg, ba))
+
+    def save_results(self, path: str = "states.csv"):
+        """CSV dump byte-compatible with the reference
+        (`visual-inertial-slam.cpp:175-204`)."""
+        with open(path, "w") as f:
+            f.write("timestamp,qw,qx,qy,qz,px,py,pz,vx,vy,vz,bgx,bgy,bgz,bax,bay,baz\n")
+            for ts, q, p, v, bg, ba in self._records:
+                row = [ts] + list(q) + list(p) + list(v) + list(bg) + list(ba)
+                f.write(",".join(str(x) for x in row) + "\n")
+
+    @property
+    def trajectory(self) -> np.ndarray:
+        """[N, 4] array of (ts, px, py, pz)."""
+        if not self._records:
+            return np.zeros((0, 4))
+        return np.array([
+            [ts, p[0], p[1], p[2]] for ts, q, p, v, bg, ba in self._records
+        ])

@@ -6,6 +6,8 @@ CPU against oracles) and multi-device sharding (8 virtual CPU devices).
 
 import os
 
+# NOTE: the JAX_PLATFORMS env var is ignored in this environment (the axon
+# TPU plugin wins); jax.config.update is authoritative.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -13,4 +15,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

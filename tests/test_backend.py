@@ -250,6 +250,7 @@ class TestMotionOnlyBA:
             is_keyframe=jnp.asarray(True),
             need_reinit=jnp.asarray(False),
             sum_imu_time=jnp.zeros((), dtype),
+            n_act=jnp.asarray(wsize, jnp.int32),
         )
         # perturb the active frames (not the anchor)
         pert_R = win.R.at[1:].set(
@@ -282,6 +283,7 @@ class TestMotionOnlyBA:
             dba=jnp.zeros((wsize + 1, 3), dtype),
             ics=ics, is_keyframe=jnp.asarray(True),
             need_reinit=jnp.asarray(False), sum_imu_time=jnp.zeros((), dtype),
+            n_act=jnp.asarray(wsize, jnp.int32),
         )
         # kill all but one observation of the first 10 landmarks
         mask = np.asarray(obs.mask).copy()

@@ -1,0 +1,73 @@
+"""End-to-end SLAM on the synthetic stereo-inertial world.
+
+Drives the full FSM (SYNCHRONIZING -> SFM -> INITIALIZING -> OK) through the
+public API exactly like a dataset replay would. Acceptance is trajectory-
+level: windowed VIO without loop closure drifts with stereo-depth noise
+(depth here is ~40x the baseline, as on EuRoC), so the gate is ATE as a
+fraction of path length, not absolute precision.
+"""
+
+import numpy as np
+import pytest
+
+from sim import StereoInertialSim, sim_config
+
+from pose_estimation_tpu.io.ate import ate_rmse
+from pose_estimation_tpu.slam import State, VisualInertialSLAM
+
+
+@pytest.fixture(scope="module")
+def run_result():
+    cfg = sim_config(
+        keyframe_rotation=0.1,
+        keyframe_translation=0.15,
+    )
+    sim = StereoInertialSim(cfg, n_landmarks=150)
+    slam = VisualInertialSLAM(cfg, verbose=False, reinit_on_bias_corruption=False)
+    gt = sim.run(slam, duration=5.0)
+    return slam, gt
+
+
+class TestEndToEnd:
+    def test_reaches_ok_state(self, run_result):
+        slam, gt = run_result
+        assert slam.state == State.OK
+
+    def test_produces_trajectory(self, run_result):
+        slam, gt = run_result
+        traj = slam.trajectory
+        # SYNC consumes 1 frame, SFM 3, INIT 1 -> at least N-6 records
+        assert len(traj) >= len(gt) - 6
+
+    def test_ate_bounded(self, run_result):
+        slam, gt = run_result
+        traj = slam.trajectory
+        path_len = np.linalg.norm(np.diff(gt[:, 1:], axis=0), axis=1).sum()
+        ate = ate_rmse(traj, gt)
+        # windowed VIO drift bound: <= 10% of path length on this geometry
+        # (depth ~40x baseline; billboard-splat rendering has structured
+        # sub-pixel noise)
+        assert ate < 0.10 * path_len, (ate, path_len)
+
+    def test_biases_bounded(self, run_result):
+        slam, gt = run_result
+        win = slam.vio.win
+        bg = np.asarray(win.ics.bg_i[-1] + win.dbg[-1])
+        ba = np.asarray(win.ics.ba_i[-1] + win.dba[-1])
+        # true biases are zero; gyro bias is strongly observable and must
+        # stay tight; acc bias is weakly observable within a 4-frame window
+        # (it absorbs the initializer's gravity-direction error, as in the
+        # reference) so its gate is loose
+        assert np.linalg.norm(bg) < 0.05
+        assert np.linalg.norm(ba) < 3.0
+
+    def test_save_results_format(self, run_result, tmp_path):
+        slam, gt = run_result
+        out = tmp_path / "states.csv"
+        slam.save_results(str(out))
+        lines = out.read_text().strip().splitlines()
+        assert lines[0] == (
+            "timestamp,qw,qx,qy,qz,px,py,pz,vx,vy,vz,bgx,bgy,bgz,bax,bay,baz"
+        )
+        assert len(lines) == len(slam.trajectory) + 1
+        assert len(lines[1].split(",")) == 17

@@ -1,0 +1,243 @@
+"""Front-end device ops vs OpenCV / numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from pose_estimation_tpu.ops import fast as fast_mod
+from pose_estimation_tpu.ops import matching, orb, pnp, ransac, remap, triangulate
+from pose_estimation_tpu.utils import lie
+
+
+def sample_image():
+    img = cv2.imread("/root/reference/benchmark/cvRectify/350_left.jpg", cv2.IMREAD_GRAYSCALE)
+    assert img is not None
+    return img
+
+
+class TestRemap:
+    def test_matches_cv2(self):
+        img = sample_image().astype(np.float32)
+        h, w = img.shape
+        rng = np.random.default_rng(0)
+        # a smooth warp
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        mapx = xs + 5 * np.sin(ys / 37.0)
+        mapy = ys + 3 * np.cos(xs / 53.0)
+        ours = np.asarray(remap.remap_bilinear(jnp.asarray(img), jnp.asarray(np.stack([mapx, mapy], -1))))
+        ref = cv2.remap(img, mapx, mapy, cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT)
+        # interior pixels must match to float tolerance (cv2 uses fixed-point
+        # 5-bit interpolation weights -> ~1/32 quantization)
+        np.testing.assert_allclose(ours[4:-4, 4:-4], ref[4:-4, 4:-4], atol=4.0)
+        exact = np.abs(ours[4:-4, 4:-4] - ref[4:-4, 4:-4]) < 1.0
+        assert exact.mean() > 0.95
+
+
+class TestHamming:
+    def test_matches_numpy_popcount(self):
+        rng = np.random.default_rng(1)
+        bits_q = rng.integers(0, 2, size=(64, 256)).astype(bool)
+        bits_t = rng.integers(0, 2, size=(96, 256)).astype(bool)
+        dq = matching.pack_descriptors(jnp.asarray(bits_q))
+        dt = matching.pack_descriptors(jnp.asarray(bits_t))
+        ours = np.asarray(matching.hamming_table(dq, dt))
+        ref = (bits_q[:, None, :] != bits_t[None, :, :]).sum(-1)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_match_gating(self):
+        rng = np.random.default_rng(2)
+        bits = rng.integers(0, 2, size=(20, 256)).astype(bool)
+        # train = noisy copy of query (flip 10 bits) + decoys
+        noisy = bits.copy()
+        for i in range(20):
+            flip = rng.choice(256, 10, replace=False)
+            noisy[i, flip] = ~noisy[i, flip]
+        decoys = rng.integers(0, 2, size=(30, 256)).astype(bool)
+        train = np.concatenate([noisy, decoys])
+        res = matching.match(
+            matching.pack_descriptors(jnp.asarray(bits)),
+            matching.pack_descriptors(jnp.asarray(train)),
+            jnp.ones(20, bool), jnp.ones(50, bool),
+            match_ratio=2.0, min_match_dist=30.0,
+        )
+        np.testing.assert_array_equal(np.asarray(res.index), np.arange(20))
+        assert bool(np.all(np.asarray(res.valid)))
+        np.testing.assert_array_equal(np.asarray(res.dist), 10.0)
+
+
+class TestFast:
+    def test_corners_superset_of_cv2(self):
+        """Our per-pixel FAST decision (score > t) must agree with cv2.FAST
+        (nonmax off) on the vast majority of pixels."""
+        img = sample_image()
+        t = 20
+        det = cv2.FastFeatureDetector_create(threshold=t, nonmaxSuppression=False)
+        kps = det.detect(img)
+        ref = np.zeros(img.shape, bool)
+        for k in kps:
+            ref[int(round(k.pt[1])), int(round(k.pt[0]))] = True
+        score = np.asarray(fast_mod.fast_score(jnp.asarray(img, jnp.float32)))
+        ours = score > t
+        # ignore 3px border (cv2 does not evaluate there)
+        ours[:3] = ours[-3:] = False
+        ours[:, :3] = ours[:, -3:] = False
+        inter = (ours & ref).sum()
+        union = (ours | ref).sum()
+        assert inter / union > 0.95, (inter, union)
+
+    def test_select_keypoints_shapes_and_spread(self):
+        img = jnp.asarray(sample_image(), jnp.float32)
+        score = fast_mod.fast_score(img)
+        kps = fast_mod.select_keypoints(score, 20.0, 7.0, 200)
+        assert kps.xy.shape == (200, 2)
+        valid = np.asarray(kps.valid)
+        assert valid.sum() > 100
+        xy = np.asarray(kps.xy)[valid]
+        # all inside detection border
+        assert xy[:, 0].min() >= 19 and xy[:, 1].min() >= 19
+        # spatially spread: stddev over both axes is a decent chunk of image
+        assert xy[:, 0].std() > img.shape[1] * 0.15
+        assert xy[:, 1].std() > img.shape[0] * 0.12
+
+
+class TestOrb:
+    def test_ic_angle_matches_centroid(self):
+        """Orientation of a synthetic gradient patch points along gradient."""
+        h = w = 64
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = xs  # intensity increases to the right -> centroid along +x
+        ang = orb.ic_angle(jnp.asarray(img), jnp.asarray([[32.0, 32.0]]))
+        assert abs(float(ang[0])) < 0.05
+
+    def test_descriptor_rotation_invariance(self):
+        """Descriptors of the same patch under image rotation stay close."""
+        img = sample_image().astype(np.float32)
+        center = (img.shape[1] / 2, img.shape[0] / 2)
+        deg = 30
+        m = cv2.getRotationMatrix2D(center, deg, 1.0)
+        rot = cv2.warpAffine(img, m, (img.shape[1], img.shape[0]))
+
+        # pick strong corners away from border in the original
+        score = np.asarray(fast_mod.fast_score(jnp.asarray(img)))
+        kps = fast_mod.select_keypoints(jnp.asarray(score), 30.0, 30.0, 40, border=120)
+        xy = np.asarray(kps.xy)[np.asarray(kps.valid)]
+        # map into rotated image
+        xy_rot = (m[:, :2] @ xy.T).T + m[:, 2]
+
+        blur1 = orb.gaussian_blur7(jnp.asarray(img))
+        blur2 = orb.gaussian_blur7(jnp.asarray(rot))
+        a1 = orb.ic_angle(blur1, jnp.asarray(xy))
+        a2 = orb.ic_angle(blur2, jnp.asarray(xy_rot))
+        d1 = orb.brief_descriptors(blur1, jnp.asarray(xy), a1)
+        d2 = orb.brief_descriptors(blur2, jnp.asarray(xy_rot), a2)
+        dist = np.asarray(matching.hamming_table(d1, d2))
+        match_dist = np.diag(dist)
+        rand_dist = dist[~np.eye(len(xy), dtype=bool)].mean()
+        # matched pairs must be far below the random-pair baseline (~80-128;
+        # BRIEF bits are correlated on natural images so it sits below 128)
+        assert match_dist.mean() < 60, (match_dist.mean(), rand_dist)
+        assert rand_dist > 2.5 * match_dist.mean()
+
+    def test_extract_end_to_end(self):
+        img = jnp.asarray(sample_image(), jnp.float32)
+        cfg = orb.OrbConfig(n_features=500)
+        feats = jax.jit(lambda x: orb.extract(x, cfg))(img)
+        valid = np.asarray(feats.valid)
+        assert valid.sum() > 250
+        assert feats.desc.shape[1] == 256
+        # level-0 coords stay in bounds
+        xy = np.asarray(feats.xy)[valid]
+        assert xy[:, 0].max() < img.shape[1] * 1.25
+        assert (np.asarray(feats.level)[valid] > 0).any()
+
+
+class TestTriangulate:
+    def test_matches_cv2(self):
+        rng = np.random.default_rng(3)
+        p1 = np.hstack([np.eye(3) * 400, np.zeros((3, 1))])
+        p1[2, 2] = 1.0
+        p1[0, 2], p1[1, 2] = 370, 240
+        p2 = p1.copy()
+        p2[0, 3] = -400 * 0.11  # baseline
+        X = np.stack([
+            rng.uniform(-2, 2, 50), rng.uniform(-1, 1, 50), rng.uniform(3, 15, 50)
+        ], axis=1)
+        px1 = (p1 @ np.hstack([X, np.ones((50, 1))]).T).T
+        px1 = px1[:, :2] / px1[:, 2:3]
+        px2 = (p2 @ np.hstack([X, np.ones((50, 1))]).T).T
+        px2 = px2[:, :2] / px2[:, 2:3]
+        ours = np.asarray(triangulate.triangulate(
+            jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(px1), jnp.asarray(px2)))
+        ref4 = cv2.triangulatePoints(p1, p2, px1.T, px2.T)
+        ref = (ref4[:3] / ref4[3]).T
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+        np.testing.assert_allclose(ours, X, atol=1e-6)
+
+    def test_rectified_closed_form(self):
+        fx = fy = 400.0
+        cx, cy = 370.0, 240.0
+        b = 0.11
+        rng = np.random.default_rng(4)
+        X = np.stack([
+            rng.uniform(-2, 2, 30), rng.uniform(-1, 1, 30), rng.uniform(2, 12, 30)
+        ], axis=1)
+        pxl = np.stack([fx * X[:, 0] / X[:, 2] + cx, fy * X[:, 1] / X[:, 2] + cy], 1)
+        pxr = np.stack([fx * (X[:, 0] - b) / X[:, 2] + cx, fy * X[:, 1] / X[:, 2] + cy], 1)
+        ours = np.asarray(triangulate.triangulate_rectified(
+            fx, cx, cy, fy, b, jnp.asarray(pxl), jnp.asarray(pxr)))
+        np.testing.assert_allclose(ours, X, rtol=1e-9)
+
+
+class TestRansac:
+    def test_rejects_outliers(self):
+        rng = np.random.default_rng(5)
+        n_in, n_out = 150, 50
+        X = np.stack([
+            rng.uniform(-3, 3, n_in), rng.uniform(-2, 2, n_in), rng.uniform(4, 20, n_in)
+        ], axis=1)
+        R = np.asarray(lie.so3_exp(jnp.asarray([0.02, -0.3, 0.01])))
+        t = np.array([-0.3, 0.02, 0.05])
+        fx, cx, cy = 400.0, 370.0, 240.0
+        p1 = np.stack([fx * X[:, 0] / X[:, 2] + cx, fx * X[:, 1] / X[:, 2] + cy], 1)
+        X2 = (R @ X.T).T + t
+        p2 = np.stack([fx * X2[:, 0] / X2[:, 2] + cx, fx * X2[:, 1] / X2[:, 2] + cy], 1)
+        # outliers: random correspondence
+        o1 = np.stack([rng.uniform(0, 740, n_out), rng.uniform(0, 460, n_out)], 1)
+        o2 = np.stack([rng.uniform(0, 740, n_out), rng.uniform(0, 460, n_out)], 1)
+        pts1 = np.concatenate([p1, o1])
+        pts2 = np.concatenate([p2, o2])
+        res = ransac.fundamental_ransac(
+            jnp.asarray(pts1), jnp.asarray(pts2),
+            jnp.ones(n_in + n_out, bool), jax.random.PRNGKey(0))
+        inl = np.asarray(res.inliers)
+        assert inl[:n_in].mean() > 0.95          # keeps the true matches
+        assert inl[n_in:].mean() < 0.1           # rejects the garbage
+
+
+class TestPnP:
+    def test_recovers_pose_with_outliers(self):
+        rng = np.random.default_rng(6)
+        n_in, n_out = 120, 40
+        X = np.stack([
+            rng.uniform(-3, 3, n_in), rng.uniform(-2, 2, n_in), rng.uniform(4, 15, n_in)
+        ], axis=1)
+        rvec_true = np.array([0.1, -0.25, 0.05])
+        t_true = np.array([0.4, -0.1, 0.6])
+        R = np.asarray(lie.so3_exp(jnp.asarray(rvec_true)))
+        K = np.array([[400.0, 0, 370], [0, 400, 240], [0, 0, 1]])
+        Xc = (R @ X.T).T + t_true
+        px = (K @ Xc.T).T
+        px = px[:, :2] / px[:, 2:3]
+        ox = np.stack([rng.uniform(-3, 3, n_out), rng.uniform(-2, 2, n_out), rng.uniform(4, 15, n_out)], 1)
+        opx = np.stack([rng.uniform(0, 740, n_out), rng.uniform(0, 460, n_out)], 1)
+        obj = np.concatenate([X, ox])
+        pxs = np.concatenate([px, opx])
+        res = pnp.pnp_ransac(
+            jnp.asarray(obj), jnp.asarray(pxs), jnp.ones(n_in + n_out, bool),
+            jnp.asarray(K), jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(res.rvec), rvec_true, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res.tvec), t_true, atol=1e-3)
+        assert int(res.n_inliers) >= n_in * 0.95
