@@ -34,34 +34,61 @@ def log(*a):
 
 
 def main():
-    import __graft_entry__
+    import functools
 
-    fn, args = __graft_entry__.entry()
-    step = jax.jit(fn, donate_argnums=(0,))
+    from pose_estimation_tpu import load_config
+    from pose_estimation_tpu.camera import CameraModel
+    from pose_estimation_tpu.models import vio as vio_mod
+
+    cfg = load_config("/root/reference/config/euroc.yml", dataset="euroc")
+    cm = CameraModel.from_config(cfg)
+    consts, static = vio_mod.build_constants(cfg, cm)
+
+    # staged pipeline (4 dispatches/frame), same stages slam.py runs
+    s_imu = jax.jit(functools.partial(vio_mod.stage_imu, consts=consts, static=static))
+    s_fe = jax.jit(functools.partial(vio_mod.stage_frontend, consts=consts, static=static))
+    s_ba = jax.jit(functools.partial(vio_mod.stage_ba, consts=consts, static=static))
+    s_pool = jax.jit(functools.partial(vio_mod.stage_pool, consts=consts, static=static))
+
+    rng = np.random.default_rng(0)
+    state = vio_mod.init_vio_state(static)
+    h, w = cfg.image_height, cfg.image_width
+    img_l = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    img_r = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    m = cfg.imu_chunk
+    gyr = jnp.asarray(rng.normal(size=(m, 3)) * 0.1, jnp.float32)
+    acc = jnp.asarray(
+        rng.normal(size=(m, 3)) * 0.3 + np.array([9.81, 0, 0]), jnp.float32)
+    mask = jnp.arange(m) < 20
+    key = jax.random.PRNGKey(0)
+
+    def frame(state, key):
+        state, imu_dt = s_imu(state, gyr, acc, mask)
+        state, cur, tr = s_fe(state, img_l, img_r, key)
+        state, cost, iters = s_ba(state, tr.n_matches)
+        state = s_pool(state, cur, tr, tr.n_matches)
+        return state, tr
 
     log("devices:", jax.devices())
     t0 = time.time()
-    state, metrics = step(*args)
+    state, tr = frame(state, key)
     jax.block_until_ready(state)
-    log(f"compile+first step: {time.time() - t0:.1f}s")
+    log(f"compile+first frame: {time.time() - t0:.1f}s")
 
-    # steady state: feed frames back-to-back, donated carry
-    _, img_l, img_r, gyr, acc, mask, key = args
     n_warm, n_meas = 3, 15
     for i in range(n_warm):
         key, sub = jax.random.split(key)
-        state, metrics = step(state, img_l, img_r, gyr, acc, mask, sub)
+        state, tr = frame(state, sub)
     jax.block_until_ready(state)
 
     t0 = time.time()
     for i in range(n_meas):
         key, sub = jax.random.split(key)
-        state, metrics = step(state, img_l, img_r, gyr, acc, mask, sub)
+        state, tr = frame(state, sub)
     jax.block_until_ready(state)
     dt = (time.time() - t0) / n_meas
     fps = 1.0 / dt
     log(f"steady-state: {dt * 1e3:.2f} ms/frame, {fps:.1f} FPS")
-    log(f"metrics: stereo={int(metrics['n_stereo'])} tracked={int(metrics['n_tracked'])}")
 
     print(json.dumps({
         "metric": "vio_full_step_fps_euroc_752x480_single_chip",

@@ -139,7 +139,12 @@ def motion_only_ba(
     jac = jac.at[m_pairs:, 0 : 6 * wsize].set(rep_rows)
 
     # ---- residual closure ----
-    z3 = jnp.zeros(3, dtype)
+    # whiteners are constant across LM iterations; hoist them out of the
+    # while_loop (16 cholesky lowerings inside the loop body otherwise)
+    lts_imu = [res.whitener(pair_ic(k).inv_cov) for k in range(wsize)]
+    lts_pri = [
+        res.whitener(pair_ic(k).inv_cov * prior_factor) for k in range(wsize)
+    ]
 
     def residual_fn(x):
         dpose = x[0 : 6 * wsize].reshape(wsize, 6)
@@ -159,14 +164,14 @@ def motion_only_ba(
                 win.R[k], win.p[k], win.v[k], win.dbg[k], win.dba[k],
                 win.R[k + 1], win.p[k + 1], win.v[k + 1],
                 win.dbg[k + 1], win.dba[k + 1],
-                ic, gravity,
+                ic, gravity, lt=lts_imu[k],
             )
             r_pri = res.prior_residual(
                 dp_j[0:3], dp_j[3:6], dv_j[0:3], dv_j[3:6], dv_j[6:9],
                 win.R[k], win.p[k], win.v[k], win.dbg[k], win.dba[k],
                 win.R[k + 1], win.p[k + 1], win.v[k + 1],
                 win.dbg[k + 1], win.dba[k + 1],
-                ic, gravity, prior_factor,
+                ic, gravity, prior_factor, lt=lts_pri[k],
             )
             parts.append(
                 jnp.where(is_imu[k], r_imu, jnp.where(is_prior[k], r_pri, 0.0))

@@ -39,9 +39,12 @@ def imu_residual(
     dr_j, dp_j, dv_j, ddbg_j, ddba_j,
     R_i, p_i, v_i, dbg_i, dba_i,
     R_j, p_j, v_j, dbg_j, dba_j,
-    ic, gravity,
+    ic, gravity, lt=None,
 ):
-    """Whitened 15-residual [r_R, r_v, r_p, r_bg, r_ba]."""
+    """Whitened 15-residual [r_R, r_v, r_p, r_bg, r_ba].
+
+    `lt` optionally supplies the precomputed whitener L^T (it is constant
+    across solver iterations — hoist it out of optimization loops)."""
     up_dbg_i = dbg_i + ddbg_i
     up_dba_i = dba_i + ddba_i
 
@@ -66,7 +69,8 @@ def imu_residual(
     r_ba = dba_j + ddba_j - up_dba_i
 
     res = jnp.concatenate([r_R, r_v, r_p, r_bg, r_ba])
-    lt = whitener(ic.inv_cov)
+    if lt is None:
+        lt = whitener(ic.inv_cov)
     return lt @ res
 
 
@@ -136,7 +140,7 @@ def prior_residual(
     dr_j, dp_j, dv_j, ddbg_j, ddba_j,
     R_i, p_i, v_i, dbg_i, dba_i,
     R_j, p_j, v_j, dbg_j, dba_j,
-    ic, gravity, prior_factor,
+    ic, gravity, prior_factor, lt=None,
 ):
     uR_j = R_j @ lie.so3_exp(dr_j)
     corrected_dR = ic.dR @ lie.so3_exp(ic.d_R_bg @ dbg_i)
@@ -156,7 +160,8 @@ def prior_residual(
     r_ba = dba_j + ddba_j - dba_i
 
     res = jnp.concatenate([r_R, r_v, r_p, r_bg, r_ba])
-    lt = whitener(ic.inv_cov * prior_factor)
+    if lt is None:
+        lt = whitener(ic.inv_cov * prior_factor)
     return lt @ res
 
 

@@ -101,7 +101,7 @@ def init_state(dtype=jnp.float32) -> PreintState:
     )
 
 
-def integrate_chunk(
+def integrate_chunk_sequential(
     state: PreintState,
     gyr: jax.Array,   # [M, 3]
     acc: jax.Array,   # [M, 3]
@@ -110,7 +110,9 @@ def integrate_chunk(
     ba: jax.Array,    # [3] accel bias at time i
     params: ImuParams,
 ) -> PreintState:
-    """Integrate a fixed-size chunk of IMU samples into the accumulator.
+    """Reference-faithful sequential scan (the oracle for the parallel
+    formulation below; ~400us/iteration of tiny ops on TPU, so the fast path
+    is `integrate_chunk`).
 
     Exact recurrences of `ImuPreintegrator::processImu`'s hot loop
     (`src/imu-preintegrator.cpp:196-233`).
@@ -168,6 +170,147 @@ def integrate_chunk(
 
     state, _ = jax.lax.scan(step, state, (gyr, acc, mask))
     return state
+
+
+def integrate_chunk(
+    state: PreintState,
+    gyr: jax.Array,   # [M, 3]
+    acc: jax.Array,   # [M, 3]
+    mask: jax.Array,  # [M] bool
+    bg: jax.Array,
+    ba: jax.Array,
+    params: ImuParams,
+) -> PreintState:
+    """Parallel (log-depth) preintegration — same math as the sequential
+    recurrences, reformulated for the TPU:
+
+    * the rotation chain is a prefix product of per-sample increments
+      (`associative_scan` of 3x3 matmuls);
+    * (dv, dp) and the (d_v_ba, d_p_ba) Jacobians are cumulative sums of
+      per-sample terms once the rotation prefixes are known;
+    * (d_R_bg, d_v_bg, d_p_bg) stacked as a 9x3 block satisfy an affine
+      recurrence X_j = A_j X_{j-1} + b_j where A_j is EXACTLY the 9x9
+      covariance-propagation matrix — one affine associative scan;
+    * the covariance itself composes as (A2, Q2) o (A1, Q1) =
+      (A2 A1, A2 Q1 A2^T + Q2) — one quadratic associative scan.
+
+    Everything is batched [M, ...] matmuls at log2(M) depth instead of M
+    sequential tiny-op steps. Masked samples contribute identity elements.
+    Results match `integrate_chunk_sequential` to float tolerance (tested).
+    """
+    dt = params.dt
+    dt2 = dt * dt
+    dtype = gyr.dtype
+    m = gyr.shape[0]
+    eye3 = jnp.eye(3, dtype=dtype)
+    mskf = mask.astype(dtype)[:, None]
+
+    ub_g = (gyr - bg) * mskf
+    ub_a = (acc - ba) * mskf
+    omega = ub_g * dt
+    dR_step = jnp.where(mask[:, None, None], lie.so3_exp(omega), eye3)   # [M,3,3]
+    jr = lie.right_jacobian(omega) * mskf[..., None]                      # [M,3,3]
+
+    # ---- rotation prefixes (inclusive), then full-frame exclusive prefixes
+    incl = jax.lax.associative_scan(jnp.matmul, dR_step)                  # [M,3,3]
+    dR_total = state.dR @ incl[-1]
+    # exclusive prefix in the chunk frame, then rotate into the i-frame
+    excl = jnp.concatenate([eye3[None], incl[:-1]], axis=0)
+    r_prev = jnp.einsum("ab,mbc->mac", state.dR, excl)                    # [M,3,3]
+
+    # ---- dv / dp (cumulative sums over full-frame terms) ----
+    t_v = jnp.einsum("mab,mb->ma", r_prev, ub_a) * dt                     # [M,3]
+    dv_steps = jnp.cumsum(t_v, axis=0)
+    dv_total = state.dv + dv_steps[-1]
+    # dp_j = dp + sum_j (dv_{j-1} dt + r_prev ub dt/2)
+    dv_prev = state.dv + jnp.concatenate(
+        [jnp.zeros((1, 3), dtype), dv_steps[:-1]], axis=0
+    )
+    dp_total = state.dp + jnp.sum(
+        (dv_prev * dt + t_v * (dt / 2)) * mskf, axis=0
+    )
+
+    # ---- per-sample 9x9 A and 9x9 Q (noise) / 9x3 b (bias-Jacobian) ----
+    temp = jnp.einsum("mab,mbc->mac", r_prev, lie.hat(ub_a))              # [M,3,3]
+    zero = jnp.zeros((m, 3, 3), dtype)
+    eye_m = jnp.broadcast_to(eye3, (m, 3, 3))
+    dR_step_T = jnp.swapaxes(dR_step, -1, -2)
+
+    def assemble_a(dRT, tmp, msk):
+        row0 = jnp.concatenate([dRT, zero, zero], axis=-1)
+        row1 = jnp.concatenate([-tmp * dt, eye_m, zero], axis=-1)
+        row2 = jnp.concatenate(
+            [-tmp * (dt2 / 2), eye_m * dt * msk[..., None], eye_m], axis=-1
+        )
+        return jnp.concatenate([row0, row1, row2], axis=-2)
+
+    a_mat = assemble_a(dR_step_T, temp, mskf)                             # [M,9,9]
+
+    # noise Q_j = B_j covN B_j^T, with B built from r_prev (full frame)
+    gyr_var = params.cov_noise_d[0]
+    acc_var = params.cov_noise_d[3]
+    jr_jr_t = jnp.einsum("mab,mcb->mac", jr, jr) * (gyr_var * dt * dt)
+    rr_t = jnp.einsum("mab,mcb->mac", r_prev, r_prev) * acc_var
+    q = jnp.zeros((m, 9, 9), dtype)
+    q = q.at[:, 0:3, 0:3].set(jr_jr_t)
+    q = q.at[:, 3:6, 3:6].set(rr_t * dt2)
+    q = q.at[:, 3:6, 6:9].set(rr_t * (dt * dt2 / 2))
+    q = q.at[:, 6:9, 3:6].set(rr_t * (dt * dt2 / 2))
+    q = q.at[:, 6:9, 6:9].set(rr_t * (dt2 * dt2 / 4))
+    q = q * mskf[..., None]
+
+    # bias-Jacobian forcing term b_j = [-Jr dt; 0; 0] (9x3)
+    b = jnp.concatenate([-jr * dt, zero, zero], axis=-2)                  # [M,9,3]
+
+    # ---- affine scan for (d_R_bg; d_v_bg; d_p_bg) ----
+    def affine_combine(c1, c2):
+        a1, b1 = c1
+        a2, b2 = c2
+        return a2 @ a1, a2 @ b1 + b2
+
+    a_tot, b_tot = jax.tree.map(
+        lambda x: x[-1],
+        jax.lax.associative_scan(affine_combine, (a_mat, b)),
+    )
+    x0 = jnp.concatenate([state.d_R_bg, state.d_v_bg, state.d_p_bg], axis=0)
+    x_new = a_tot @ x0 + b_tot
+
+    # ---- quadratic scan for the covariance ----
+    def cov_combine(c1, c2):
+        a1, q1 = c1
+        a2, q2 = c2
+        return a2 @ a1, a2 @ q1 @ jnp.swapaxes(a2, -1, -2) + q2
+
+    a_tot2, q_tot = jax.tree.map(
+        lambda x: x[-1],
+        jax.lax.associative_scan(cov_combine, (a_mat, q)),
+    )
+    cov_new = a_tot2 @ state.cov9 @ a_tot2.T + q_tot
+
+    # ---- (d_v_ba, d_p_ba): closed-form cumsums (constant A block) ----
+    r_sum = jnp.cumsum(r_prev * mskf[..., None], axis=0)                  # [M,3,3]
+    d_v_ba_steps = -r_sum * dt
+    d_v_ba_total = state.d_v_ba + d_v_ba_steps[-1]
+    d_v_ba_prev = state.d_v_ba + jnp.concatenate(
+        [jnp.zeros((1, 3, 3), dtype), d_v_ba_steps[:-1]], axis=0
+    )
+    d_p_ba_total = state.d_p_ba + jnp.sum(
+        (d_v_ba_prev * dt - r_prev * (dt2 / 2)) * mskf[..., None], axis=0
+    )
+
+    n_valid = jnp.sum(mask)
+    return PreintState(
+        dR=dR_total,
+        dv=dv_total,
+        dp=dp_total,
+        d_R_bg=x_new[0:3],
+        d_v_bg=x_new[3:6],
+        d_p_bg=x_new[6:9],
+        d_v_ba=d_v_ba_total,
+        d_p_ba=d_p_ba_total,
+        cov9=cov_new,
+        dt=state.dt + n_valid.astype(dtype) * dt,
+    )
 
 
 def finalize(state: PreintState, bg: jax.Array, ba: jax.Array, params: ImuParams) -> ImuConstraint:

@@ -263,6 +263,89 @@ def ok_step(
     return state, metrics
 
 
+# ---------------------------------------------------------------------------
+# Staged variants: the same pipeline as ok_step split into four jitted
+# dispatches (imu / front-end / BA / pool). Functionally identical; smaller
+# compile units, per-stage timing parity with the reference's stage printouts
+# (`visual-inertial-slam.cpp:28-64`), and friendlier to the axon tunnel than
+# one mega-graph.
+# ---------------------------------------------------------------------------
+
+
+def stage_imu(
+    state: VIOState, gyr, acc, imu_mask, consts: VIOConstants, static: VIOStatic
+):
+    """Pool window shift (if last frame was a keyframe) + preintegration +
+    constraint push/prediction."""
+    win, pool = state.win, state.pool
+    pool = jax.lax.cond(
+        win.is_keyframe, pool_mod.shift_window, lambda p: p, pool
+    )
+    preint = pre.integrate_chunk(
+        state.preint, gyr, acc, imu_mask, state.bg, state.ba, consts.imu
+    )
+    ic = pre.finalize(preint, state.bg, state.ba, consts.imu)
+    win = win_mod.push_constraint(win, ic, consts.gravity)
+    return state._replace(win=win, pool=pool, preint=preint), ic.dt
+
+
+def stage_frontend(
+    state: VIOState, img_l, img_r, key, consts: VIOConstants, static: VIOStatic
+):
+    cur, tr = front_end(img_l, img_r, state.pool, key, consts, static)
+    pool = pool_mod.record_observations(state.pool, tr.slot, tr.matched, cur.px_l)
+    return state._replace(pool=pool), cur, tr
+
+
+def stage_ba(
+    state: VIOState, tr_n_matches, consts: VIOConstants, static: VIOStatic
+):
+    win = state.win
+    has_matches = tr_n_matches > 0
+
+    def do_ba(win):
+        obs = LandmarkObs(state.pool.pos, state.pool.obs_px, state.pool.obs_mask)
+        dpose, dvdbga, info = ba_mod.motion_only_ba(
+            win, obs, consts.calib, consts.gravity,
+            static.prior_factor, static.max_iterations,
+        )
+        win = win_mod.apply_deltas(
+            win, dpose, dvdbga, static.max_gyr_bias, static.max_acc_bias
+        )
+        win = win_mod.check_keyframe(
+            win, static.keyframe_rotation, static.keyframe_translation,
+            static.max_imu_time,
+        )
+        return win, info["final_cost"], info["iterations"]
+
+    def skip_ba(win):
+        return win, jnp.zeros((), static.dtype), jnp.zeros((), jnp.int32)
+
+    win, ba_cost, ba_iters = jax.lax.cond(has_matches, do_ba, skip_ba, win)
+    state = state._replace(win=win)
+
+    kf = win.is_keyframe & has_matches
+    new_bg = jnp.where(kf, win.ics.bg_i[-1] + win.dbg[-1], state.bg)
+    new_ba = jnp.where(kf, win.ics.ba_i[-1] + win.dba[-1], state.ba)
+    preint = jax.lax.cond(
+        kf, lambda p: pre.init_state(static.dtype), lambda p: p, state.preint
+    )
+    return state._replace(preint=preint, bg=new_bg, ba=new_ba), ba_cost, ba_iters
+
+
+def stage_pool(
+    state: VIOState, cur, tr, tr_n_matches, consts: VIOConstants, static: VIOStatic
+):
+    kf = state.win.is_keyframe & (tr_n_matches > 0)
+    do_pool = kf | ~jnp.any(state.pool.valid)
+    return jax.lax.cond(
+        do_pool,
+        lambda s: pool_update(s, cur, tr, consts, static),
+        lambda s: s,
+        state,
+    )
+
+
 def sfm_step(
     img_l: jax.Array, img_r: jax.Array,
     ref_desc: jax.Array, ref_xy: jax.Array, ref_valid: jax.Array,

@@ -71,10 +71,25 @@ class VisualInertialSLAM:
         # --- results (states.csv) ---
         self._records: list[tuple] = []
 
-        # --- jitted entry points ---
-        self._ok_step = jax.jit(
+        # --- jitted entry points (staged pipeline; see vio.py) ---
+        self._stage_imu = jax.jit(
             functools.partial(
-                vio_mod.ok_step, consts=self.consts, static=self.static
+                vio_mod.stage_imu, consts=self.consts, static=self.static
+            )
+        )
+        self._stage_frontend = jax.jit(
+            functools.partial(
+                vio_mod.stage_frontend, consts=self.consts, static=self.static
+            )
+        )
+        self._stage_ba = jax.jit(
+            functools.partial(
+                vio_mod.stage_ba, consts=self.consts, static=self.static
+            )
+        )
+        self._stage_pool = jax.jit(
+            functools.partial(
+                vio_mod.stage_pool, consts=self.consts, static=self.static
             )
         )
         self._bootstrap = jax.jit(
@@ -215,9 +230,22 @@ class VisualInertialSLAM:
                 if self.verbose:
                     print("[slam] warning: no IMU samples for frame; skipping")
                 return False
-            self.vio, metrics = self._ok_step(
-                self.vio, img_l, img_r, gyr, acc, mask, self._next_key()
+            self.vio, imu_dt = self._stage_imu(self.vio, gyr, acc, mask)
+            self.vio, cur, tr = self._stage_frontend(
+                self.vio, img_l, img_r, self._next_key()
             )
+            self.vio, ba_cost, ba_iters = self._stage_ba(self.vio, tr.n_matches)
+            self.vio = self._stage_pool(self.vio, cur, tr, tr.n_matches)
+            metrics = {
+                "n_stereo": jnp.sum(cur.valid),
+                "n_tracked": tr.n_matches,
+                "is_keyframe": self.vio.win.is_keyframe,
+                "ba_cost": ba_cost,
+                "ba_iters": ba_iters,
+                "need_reinit": self.vio.win.need_reinit,
+                "pool_size": jnp.sum(self.vio.pool.valid),
+                "imu_dt": imu_dt,
+            }
             self._record(img_ts)
             if self.verbose:
                 print(

@@ -228,6 +228,16 @@ class ConfigError(KeyError):
     pass
 
 
+def _warn_identity(key, value):
+    import warnings
+
+    warnings.warn(
+        f"config key {key!r} missing; defaulting to identity/zero "
+        "(imu-camera extrinsics!)", stacklevel=3,
+    )
+    return value
+
+
 def _req(d: dict, *keys):
     """Return the first present key's value; raise if all missing (strict —
     this is the guard against the reference's silent-zero KITTI bug)."""
@@ -262,8 +272,19 @@ def load_config(path: str | Path, dataset: str, **overrides) -> VIOConfig:
         dist_right=arr("distRight", (-1,)),
         r_lr=arr("rotationLeftToRight", (3, 3)),
         t_lr=arr("translationLeftToRight", (3,)),
-        r_cb=arr("rotationImuToCamera", (3, 3)),
-        t_cb=arr("translationImuToCamera", (3,)),
+        # the shipped cfsd.yml comments these out (`config/cfsd.yml:84-93`),
+        # so the reference's CFSD build could not actually construct its
+        # CameraModel; default to identity extrinsics with a warning.
+        r_cb=(
+            arr("rotationImuToCamera", (3, 3))
+            if "rotationImuToCamera" in d
+            else _warn_identity("rotationImuToCamera", np.eye(3))
+        ),
+        t_cb=(
+            arr("translationImuToCamera", (3,))
+            if "translationImuToCamera" in d
+            else _warn_identity("translationImuToCamera", np.zeros(3))
+        ),
         sampling_rate=int(_req(d, "samplingRate")),
         gyr_noise=float(_req(d, p.key_gyr_noise)),
         acc_noise=float(_req(d, p.key_acc_noise)),

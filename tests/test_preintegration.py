@@ -104,6 +104,28 @@ def make_samples(m=40, seed=0):
     return gyr, acc
 
 
+class TestParallelFormulation:
+    def test_matches_sequential_exactly(self):
+        """The associative-scan formulation must equal the sequential scan
+        to machine epsilon — with carry-in state, bias, and masking."""
+        gyr, acc = make_samples(40, seed=9)
+        params = make_params()
+        bg = jnp.asarray([0.01, -0.02, 0.005])
+        ba = jnp.asarray([-0.05, 0.1, 0.02])
+        mask = jnp.asarray(np.arange(40) < 33)
+        s0 = pre.integrate_chunk_sequential(
+            pre.init_state(jnp.float64), jnp.asarray(gyr[:10]), jnp.asarray(acc[:10]),
+            jnp.ones(10, bool), bg, ba, params)
+        seq = pre.integrate_chunk_sequential(
+            s0, jnp.asarray(gyr), jnp.asarray(acc), mask, bg, ba, params)
+        par = pre.integrate_chunk(
+            s0, jnp.asarray(gyr), jnp.asarray(acc), mask, bg, ba, params)
+        for name in seq._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(par, name)), np.asarray(getattr(seq, name)),
+                atol=1e-13, err_msg=name)
+
+
 class TestPreintegration:
     def test_matches_numpy_oracle(self):
         gyr, acc = make_samples()
