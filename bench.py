@@ -19,12 +19,10 @@ passes, up to 20 Ceres iterations; an estimated 25-40 FPS).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 REFERENCE_FRONTEND_FPS = 76.7  # measured, BASELINE.md
 
@@ -33,8 +31,35 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def supervise():
+    """The axon TPU tunnel nondeterministically faults on large programs
+    ("TPU worker process crashed"); identical programs succeed on retry.
+    Run the measurement in a child process and retry a few times."""
+    for attempt in range(4):
+        if attempt:
+            log(f"[bench] retry {attempt} after TPU fault; waiting for recovery...")
+            time.sleep(150)
+        env = dict(os.environ, BENCH_WORKER="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        sys.stderr.write(proc.stderr)
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return 0
+        log(f"[bench] attempt {attempt} failed (rc={proc.returncode})")
+    log("[bench] all attempts failed")
+    return 1
+
+
 def main():
     import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from pose_estimation_tpu import load_config
     from pose_estimation_tpu.camera import CameraModel
@@ -99,4 +124,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_WORKER") == "1":
+        main()
+    else:
+        sys.exit(supervise())

@@ -41,10 +41,12 @@ class SensorType(Enum):
 
 class VisualInertialSLAM:
     def __init__(self, cfg: VIOConfig, verbose: bool = False, seed: int = 0,
-                 reinit_on_bias_corruption: bool = True, dtype=jnp.float32):
+                 reinit_on_bias_corruption: bool = True, dtype=jnp.float32,
+                 metrics_jsonl: str | None = None):
         self.cfg = cfg
         self.verbose = verbose
         self.reinit_on_bias_corruption = reinit_on_bias_corruption
+        self._metrics_sink = open(metrics_jsonl, "w") if metrics_jsonl else None
         self.cm = CameraModel.from_config(cfg)
         self.consts, self.static = vio_mod.build_constants(cfg, self.cm, dtype)
         dtype = self.static.dtype
@@ -255,6 +257,12 @@ class VisualInertialSLAM:
                     f"pool={int(metrics['pool_size'])} "
                     f"ba_iters={int(metrics['ba_iters'])}"
                 )
+            if self._metrics_sink is not None:
+                import json
+
+                self._metrics_sink.write(json.dumps(
+                    {"ts": img_ts, **{k: float(v) for k, v in metrics.items()}}
+                ) + "\n")
             if bool(metrics["need_reinit"]) and self.reinit_on_bias_corruption:
                 # the reference detects this and leaves the transition
                 # commented out (`visual-inertial-slam.cpp:53-57`)

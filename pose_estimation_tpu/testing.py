@@ -71,8 +71,8 @@ def synthetic_config(
 
 def tiny_config(**overrides) -> VIOConfig:
     """Minimal shapes for multi-chip dry-runs on virtual CPU devices."""
-    return synthetic_config(
-        width=96, height=64, levels=2, features=64,
+    base = dict(
         max_keypoints=64, max_matches=32, pool_capacity=128, imu_chunk=8,
-        **overrides,
     )
+    base.update(overrides)
+    return synthetic_config(width=96, height=64, levels=2, features=64, **base)

@@ -186,9 +186,9 @@ class VIOConfig:
 
     # --- framework static capacities (XLA shapes) ---
     max_keypoints: int = 1024       # per-image ORB keypoint capacity
-    max_matches: int = 512          # stereo-matched feature capacity per frame
-    pool_capacity: int = 2048       # landmark/feature pool capacity
-    imu_chunk: int = 64             # max IMU samples per frame interval
+    max_matches: int = 384          # stereo-matched feature capacity per frame
+    pool_capacity: int = 1024       # landmark/feature pool capacity
+    imu_chunk: int = 32             # max IMU samples per frame interval
     window_size: int = WINDOW_SIZE
 
     @property
