@@ -91,16 +91,20 @@ def select_keypoints(
     cell: int = 16,
     border: int = 19,
     k_per_cell: int = 4,
+    pre_nms: bool = False,
+    raw_score: jnp.ndarray | None = None,
 ) -> Keypoints:
     """NMS + per-cell threshold fallback + per-cell top-k + global top-K.
 
     border matches ORB-SLAM2's EDGE_THRESHOLD=19 detection margin
-    (`ORBextractor.cc:770-773`).
+    (`ORBextractor.cc:770-773`). Set pre_nms=True when `score` is already
+    NMS-masked (zeros where suppressed — e.g. from the Pallas kernel);
+    `raw_score` then supplies unmasked values for subpixel refinement.
     """
     h, w = score.shape
     neg = jnp.float32(-1e9)
 
-    keep = nms3(score)
+    keep = (score > 0.0) if pre_nms else nms3(score)
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
     inb = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
@@ -144,10 +148,12 @@ def select_keypoints(
     # subpixel refinement: 1D quadratic fit on the raw score map along each
     # axis (a quality upgrade over the reference, whose FAST corners are
     # integer-quantized — ORBextractor.cc has no refinement)
+    sub_src = score if raw_score is None else raw_score
+
     def sc(yy, xx):
         yy = jnp.clip(yy, 0, h - 1)
         xx = jnp.clip(xx, 0, w - 1)
-        return score.reshape(-1)[yy * w + xx]
+        return sub_src.reshape(-1)[yy * w + xx]
 
     s0 = sc(gy, gx)
     sl = sc(gy, gx - 1)

@@ -71,11 +71,42 @@ def gather_patches(img: jnp.ndarray, xy: jnp.ndarray, r: int) -> jnp.ndarray:
 
 
 def ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid orientation per keypoint (radians)."""
+    """Intensity-centroid orientation per keypoint (radians).
+
+    Gather-based: per-keypoint 31x31 patch gather contracted with the
+    circular moment masks. See `ic_angle_conv` for the MXU formulation.
+    """
     patches = gather_patches(img, xy, PATCH_R)               # [N, 961]
     mx, my = _moment_masks(patches.dtype)
     m10 = patches @ mx
     m01 = patches @ my
+    return jnp.arctan2(m01, m10)
+
+
+def moment_maps(img: jnp.ndarray) -> jnp.ndarray:
+    """Whole-image circular moments (m10, m01) via one 2-channel 31x31
+    convolution — MXU work instead of scattered gathers. [H,W] -> [2,H,W]."""
+    mx, my = _moment_masks(img.dtype)
+    kern = jnp.stack(
+        [mx.reshape(31, 31), my.reshape(31, 31)], axis=0
+    )[:, None]                                               # [2,1,31,31]
+    out = jax.lax.conv_general_dilated(
+        img[None, None],                                     # [1,1,H,W]
+        kern,
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    return out[0]                                            # [2,H,W]
+
+
+def ic_angle_from_moments(moments: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Sample precomputed moment maps at (rounded) keypoint positions."""
+    h, w = moments.shape[1:]
+    cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    idx = cy * w + cx
+    m10 = jnp.take(moments[0].reshape(-1), idx, axis=0)
+    m01 = jnp.take(moments[1].reshape(-1), idx, axis=0)
     return jnp.arctan2(m01, m10)
 
 
@@ -128,6 +159,9 @@ class OrbConfig(NamedTuple):
     th_lo: float = 7.0
     cell: int = 16
     k_per_cell: int = 4
+    # "xla" = roll/min-tree formulation; "pallas" = fused score+NMS kernel
+    # (ops/pallas_fast.py), one HBM read + one write per pixel
+    fast_backend: str = "xla"
 
 
 class OrbFeatures(NamedTuple):
@@ -164,12 +198,22 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
             lh = max(int(round(h / cfg.scale**lvl)), 2 * EDGE + 8)
             lw = max(int(round(w / cfg.scale**lvl)), 2 * EDGE + 8)
             level_img = jax.image.resize(img, (lh, lw), method="linear")
-        score = fast_mod.fast_score(level_img)
-        kps = fast_mod.select_keypoints(
-            score, cfg.th_hi, cfg.th_lo, budgets[lvl],
-            cell=cfg.cell, border=EDGE, k_per_cell=cfg.k_per_cell,
-        )
-        ang = ic_angle(level_img, kps.xy)
+        if cfg.fast_backend == "pallas":
+            from pose_estimation_tpu.ops.pallas_fast import fast_score_nms_pallas
+
+            score_raw, score_masked = fast_score_nms_pallas(level_img)
+            kps = fast_mod.select_keypoints(
+                score_masked, cfg.th_hi, cfg.th_lo, budgets[lvl],
+                cell=cfg.cell, border=EDGE, k_per_cell=cfg.k_per_cell,
+                pre_nms=True, raw_score=score_raw,
+            )
+        else:
+            score = fast_mod.fast_score(level_img)
+            kps = fast_mod.select_keypoints(
+                score, cfg.th_hi, cfg.th_lo, budgets[lvl],
+                cell=cfg.cell, border=EDGE, k_per_cell=cfg.k_per_cell,
+            )
+        ang = ic_angle_from_moments(moment_maps(level_img), kps.xy)
         blur = gaussian_blur7(level_img)
         desc = brief_descriptors(blur, kps.xy, ang)
         scale_back = jnp.float32(cfg.scale**lvl)

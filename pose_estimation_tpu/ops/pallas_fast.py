@@ -1,0 +1,113 @@
+"""Fused FAST-9/16 score + 3x3 NMS as a Pallas TPU kernel.
+
+The XLA formulation (`ops/fast.py`) materializes 16 shifted images plus the
+min-tree intermediates in HBM between fusions; this kernel keeps one image
+tile (plus a 4-pixel halo) resident in VMEM and emits the NMS-masked corner
+score in a single pass — HBM traffic drops to one read + one write per
+pixel.
+
+Grid: row-bands of the image; each program handles a (BAND, W) stripe. The
+halo is re-read from the input ref (rows overlap by 8), which is cheap
+relative to the fused arithmetic.
+
+`fast_score_nms_pallas(img)` == `where(nms3(fast_score(img)),
+fast_score(img), 0)` up to the border band (masked downstream by
+`select_keypoints`'s 19px detection margin). Tested in interpret mode on CPU
+and used on TPU behind `OrbConfig`'s backend switch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from pose_estimation_tpu.ops.fast import CIRCLE
+
+HALO = 4  # 3 for the FAST ring + 1 for the NMS neighborhood
+
+
+def _kernel(img_ref, raw_ref, out_ref, *, band: int, width: int):
+    """img_ref: the full padded image (VMEM); out_ref: [band, W] block.
+
+    Row windows overlap (halo), so the input is passed whole and each
+    program slices its band + halo; only per-band intermediates live in
+    registers/VMEM."""
+    i = pl.program_id(0)
+    tile = img_ref[pl.ds(i * band, band + 2 * HALO), :]  # [band+8, W]
+
+    # score rows cover the output band plus one NMS margin row on each side:
+    # local score row r <-> padded-image row i*band + (HALO-1) + r
+    def shift(arr, dy, dx):
+        # static shifts within the padded tile; rows have halo, columns wrap
+        # via roll (the wrapped columns land outside the detection border)
+        rolled = jnp.roll(arr, -dx, axis=1)
+        return jax.lax.dynamic_slice_in_dim(
+            rolled, HALO - 1 + dy, band + 2, axis=0
+        )
+
+    center = jax.lax.dynamic_slice_in_dim(tile, HALO - 1, band + 2, axis=0)
+
+    diffs = [shift(tile, dy, dx) - center for dy, dx in CIRCLE]  # 16x[band+2,W]
+
+    def arc_min9(ds):
+        m3 = [jnp.minimum(jnp.minimum(ds[i], ds[(i + 1) % 16]), ds[(i + 2) % 16])
+              for i in range(16)]
+        m9 = [jnp.minimum(jnp.minimum(m3[i], m3[(i + 3) % 16]), m3[(i + 6) % 16])
+              for i in range(16)]
+        out = m9[0]
+        for i in range(1, 16):
+            out = jnp.maximum(out, m9[i])
+        return out
+
+    bright = arc_min9(diffs)
+    dark = arc_min9([-d for d in diffs])
+    score = jnp.maximum(bright, dark)                   # [band+2, W]
+
+    # 3x3 NMS with raster-order tie-breaking (match fast.nms3)
+    def nshift(arr, dy, dx):
+        rolled = jnp.roll(arr, -dx, axis=1)
+        return jax.lax.dynamic_slice_in_dim(rolled, 1 + dy, band, axis=0)
+
+    c = jax.lax.dynamic_slice_in_dim(score, 1, band, axis=0)
+    keep = jnp.ones_like(c, dtype=jnp.bool_)
+    strictly_before = True
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                strictly_before = False
+                continue
+            nb = nshift(score, dy, dx)
+            keep = keep & ((c > nb) if strictly_before else (c >= nb))
+
+    raw_ref[:] = c
+    out_ref[:] = jnp.where(keep, c, 0.0)
+
+
+def fast_score_nms_pallas(
+    img: jnp.ndarray, band: int = 8, interpret: bool = False
+):
+    """(raw_score, nms_masked) FAST score maps, each [H, W] float32. The
+    masked map is zero where suppressed or not a corner; the raw map feeds
+    subpixel refinement."""
+    h, w = img.shape
+    hp = -(-h // band) * band
+    img_p = jnp.pad(img, ((HALO, hp - h + HALO), (0, 0)), mode="edge")
+
+    raw, out = pl.pallas_call(
+        functools.partial(_kernel, band=band, width=w),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, w), img.dtype),
+            jax.ShapeDtypeStruct((hp, w), img.dtype),
+        ),
+        grid=(hp // band,),
+        in_specs=[pl.BlockSpec(img_p.shape, lambda i: (0, 0))],
+        out_specs=(
+            pl.BlockSpec((band, w), lambda i: (i, 0)),
+            pl.BlockSpec((band, w), lambda i: (i, 0)),
+        ),
+        interpret=interpret,
+    )(img_p)
+    return raw[:h], out[:h]

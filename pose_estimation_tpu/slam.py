@@ -42,11 +42,15 @@ class SensorType(Enum):
 class VisualInertialSLAM:
     def __init__(self, cfg: VIOConfig, verbose: bool = False, seed: int = 0,
                  reinit_on_bias_corruption: bool = True, dtype=jnp.float32,
-                 metrics_jsonl: str | None = None):
+                 metrics_jsonl: str | None = None, reinit_check_every: int = 8):
         self.cfg = cfg
         self.verbose = verbose
         self.reinit_on_bias_corruption = reinit_on_bias_corruption
         self._metrics_sink = open(metrics_jsonl, "w") if metrics_jsonl else None
+        # host<->device sync cadence for the bias-corruption check (each
+        # check blocks the async dispatch pipeline)
+        self.reinit_check_every = reinit_check_every
+        self._frame_count = 0
         self.cm = CameraModel.from_config(cfg)
         self.consts, self.static = vio_mod.build_constants(cfg, self.cm, dtype)
         dtype = self.static.dtype
@@ -263,7 +267,12 @@ class VisualInertialSLAM:
                 self._metrics_sink.write(json.dumps(
                     {"ts": img_ts, **{k: float(v) for k, v in metrics.items()}}
                 ) + "\n")
-            if bool(metrics["need_reinit"]) and self.reinit_on_bias_corruption:
+            self._frame_count += 1
+            if (
+                self.reinit_on_bias_corruption
+                and self._frame_count % self.reinit_check_every == 0
+                and bool(metrics["need_reinit"])
+            ):
                 # the reference detects this and leaves the transition
                 # commented out (`visual-inertial-slam.cpp:53-57`)
                 if self.verbose:
@@ -381,13 +390,18 @@ class VisualInertialSLAM:
     # ------------------------------------------------------------------ #
 
     def _record(self, img_ts: int):
+        # device arrays are stored WITHOUT forcing a host sync (conversion is
+        # deferred to save_results / trajectory) so the dispatch pipeline
+        # stays asynchronous
         win = self.vio.win
-        q = np.asarray(lie.mat_to_quat(win.R[-1]))
-        p = np.asarray(win.p[-1])
-        v = np.asarray(win.v[-1])
-        bg = np.asarray(win.ics.bg_i[-1] + win.dbg[-1])
-        ba = np.asarray(win.ics.ba_i[-1] + win.dba[-1])
-        self._records.append((img_ts, q, p, v, bg, ba))
+        self._records.append((
+            img_ts,
+            lie.mat_to_quat(win.R[-1]),
+            win.p[-1],
+            win.v[-1],
+            win.ics.bg_i[-1] + win.dbg[-1],
+            win.ics.ba_i[-1] + win.dba[-1],
+        ))
 
     def save_results(self, path: str = "states.csv"):
         """CSV dump byte-compatible with the reference
@@ -395,7 +409,11 @@ class VisualInertialSLAM:
         with open(path, "w") as f:
             f.write("timestamp,qw,qx,qy,qz,px,py,pz,vx,vy,vz,bgx,bgy,bgz,bax,bay,baz\n")
             for ts, q, p, v, bg, ba in self._records:
-                row = [ts] + list(q) + list(p) + list(v) + list(bg) + list(ba)
+                row = (
+                    [ts] + list(np.asarray(q)) + list(np.asarray(p))
+                    + list(np.asarray(v)) + list(np.asarray(bg))
+                    + list(np.asarray(ba))
+                )
                 f.write(",".join(str(x) for x in row) + "\n")
 
     @property
@@ -404,5 +422,5 @@ class VisualInertialSLAM:
         if not self._records:
             return np.zeros((0, 4))
         return np.array([
-            [ts, p[0], p[1], p[2]] for ts, q, p, v, bg, ba in self._records
+            [ts, *np.asarray(p)] for ts, q, p, v, bg, ba in self._records
         ])

@@ -1,0 +1,47 @@
+"""Pallas fused FAST score+NMS kernel vs the XLA formulation (interpret
+mode on CPU; the kernel runs compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose_estimation_tpu.ops import fast as fast_mod
+from pose_estimation_tpu.ops.pallas_fast import fast_score_nms_pallas
+
+
+class TestPallasFast:
+    def test_matches_xla_formulation(self):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 255, (120, 160)), jnp.float32)
+        ref_score = fast_mod.fast_score(img)
+        ref_masked = jnp.where(fast_mod.nms3(ref_score), ref_score, 0.0)
+        raw, masked = fast_score_nms_pallas(img, interpret=True)
+        # compare away from borders (column wrap + row halo live outside the
+        # 19px detection margin)
+        sl = np.s_[8:-8, 8:-8]
+        np.testing.assert_array_equal(np.asarray(raw)[sl], np.asarray(ref_score)[sl])
+        np.testing.assert_array_equal(np.asarray(masked)[sl], np.asarray(ref_masked)[sl])
+
+    def test_select_keypoints_pre_nms_equivalence(self):
+        """The pallas path through select_keypoints (pre_nms + raw_score)
+        yields the same keypoints as the standard path."""
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.uniform(0, 255, (120, 160)), jnp.float32)
+        score = fast_mod.fast_score(img)
+        kps_std = fast_mod.select_keypoints(score, 20.0, 7.0, 64)
+        raw, masked = fast_score_nms_pallas(img, interpret=True)
+        kps_pal = fast_mod.select_keypoints(
+            masked, 20.0, 7.0, 64, pre_nms=True, raw_score=raw
+        )
+        v1 = np.asarray(kps_std.valid)
+        v2 = np.asarray(kps_pal.valid)
+        np.testing.assert_array_equal(v1, v2)
+        np.testing.assert_allclose(
+            np.asarray(kps_std.xy)[v1], np.asarray(kps_pal.xy)[v2], atol=1e-6
+        )
+
+    def test_nonuniform_height(self):
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.uniform(0, 255, (101, 128)), jnp.float32)
+        raw, masked = fast_score_nms_pallas(img, interpret=True)
+        assert raw.shape == img.shape and masked.shape == img.shape
