@@ -148,15 +148,14 @@ def init_vio_state(static: VIOStatic) -> VIOState:
 def front_end(img_l, img_r, pool, key, consts: VIOConstants, static: VIOStatic):
     """rectify -> ORB -> stereo match -> temporal track. Shared by the OK
     path and the bootstrap frame."""
-    # both images ride one batched (vmapped) rectify+extract pass — the TPU
-    # replacement for the reference's two ORB threads
-    # (`feature-tracker.cpp:147-157`)
-    imgs = jnp.stack([img_l, img_r])
-    maps = jnp.stack([consts.map_l, consts.map_r])
-    rects = jax.vmap(remap.remap_bilinear)(imgs, maps)
-    feats_lr = jax.vmap(lambda i: orb.extract(i, static.orb))(rects)
-    feats_l = jax.tree.map(lambda a: a[0], feats_lr)
-    feats_r = jax.tree.map(lambda a: a[1], feats_lr)
+    # NOTE: batching L/R into one vmapped extract is the natural TPU form of
+    # the reference's two ORB threads, but the vmapped conv/gather graph
+    # reliably faults the axon-tunneled TPU worker in this environment, so
+    # the two extractions stay sequential (XLA still fuses aggressively).
+    rect_l = remap.remap_bilinear(img_l, consts.map_l)
+    rect_r = remap.remap_bilinear(img_r, consts.map_r)
+    feats_l = orb.extract(rect_l, static.orb)
+    feats_r = orb.extract(rect_r, static.orb)
     k1, k2 = jax.random.split(key)
     cur = tracker.internal_match(
         feats_l, feats_r, k1, static.cur_capacity,
@@ -368,15 +367,10 @@ def sfm_step(
     from pose_estimation_tpu.ops import pnp as pnp_mod
     from pose_estimation_tpu.ops import triangulate as tri_mod
 
-    # both images ride one batched (vmapped) rectify+extract pass — the TPU
-    # replacement for the reference's two ORB threads
-    # (`feature-tracker.cpp:147-157`)
-    imgs = jnp.stack([img_l, img_r])
-    maps = jnp.stack([consts.map_l, consts.map_r])
-    rects = jax.vmap(remap.remap_bilinear)(imgs, maps)
-    feats_lr = jax.vmap(lambda i: orb.extract(i, static.orb))(rects)
-    feats_l = jax.tree.map(lambda a: a[0], feats_lr)
-    feats_r = jax.tree.map(lambda a: a[1], feats_lr)
+    rect_l = remap.remap_bilinear(img_l, consts.map_l)
+    rect_r = remap.remap_bilinear(img_r, consts.map_r)
+    feats_l = orb.extract(rect_l, static.orb)
+    feats_r = orb.extract(rect_r, static.orb)
     k1, k2 = jax.random.split(key)
     cur = tracker.internal_match(
         feats_l, feats_r, k1, static.cur_capacity,
