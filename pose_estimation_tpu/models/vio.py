@@ -267,6 +267,40 @@ def ok_step(
     return state, metrics
 
 
+def ok_scan(
+    state: VIOState,
+    imgs_l: jax.Array,   # [T, H, W]
+    imgs_r: jax.Array,   # [T, H, W]
+    gyrs: jax.Array,     # [T, M, 3]
+    accs: jax.Array,     # [T, M, 3]
+    imu_masks: jax.Array,  # [T, M]
+    keys: jax.Array,     # [T, 2] PRNG keys
+    consts: VIOConstants, static: VIOStatic,
+):
+    """Streaming replay: T steady-state frames of ONE sequence in a single
+    `lax.scan` dispatch — amortizes per-dispatch/per-op launch overhead for
+    offline replay (the reference's only mode) while keeping sequential
+    semantics. Returns (state, stacked per-frame metrics)."""
+
+    def body(s, inp):
+        il, ir, g, a, m, k = inp
+        s, metrics = ok_step(s, il, ir, g, a, m, k, consts, static)
+        # keep the carry lean: per-frame outputs are the newest pose + stats
+        out = {
+            "R": s.win.R[-1],
+            "p": s.win.p[-1],
+            "v": s.win.v[-1],
+            "n_tracked": metrics["n_tracked"],
+            "is_keyframe": metrics["is_keyframe"],
+            "need_reinit": metrics["need_reinit"],
+        }
+        return s, out
+
+    return jax.lax.scan(
+        body, state, (imgs_l, imgs_r, gyrs, accs, imu_masks, keys)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Staged variants: the same pipeline as ok_step split into four jitted
 # dispatches (imu / front-end / BA / pool). Functionally identical; smaller
