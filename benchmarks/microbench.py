@@ -8,6 +8,14 @@ Reference counterparts (measured values in BASELINE.md):
 
 Run:  python benchmarks/microbench.py [--json]
 Prints per-stage steady-state latencies on the current JAX default device.
+
+NOTE on interpreting results on the axon-tunneled chip: isolated small
+dispatches pay a fixed per-dispatch/per-op latency floor (~20-35 ms once the
+relay is warm), which dominates every individual stage here. The honest
+whole-pipeline numbers come from `bench.py` (chained, batched, readback-
+barriered): ~2.5 ms marginal compute per frame, 278 frames/s/chip at
+batch 64. This suite is for RELATIVE comparisons between stages and for
+non-tunneled hardware.
 """
 
 from __future__ import annotations
@@ -18,8 +26,11 @@ import json
 import sys
 import time
 import timeit
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def bench(fn, *args, n=20):

@@ -278,9 +278,14 @@ def ok_scan(
     consts: VIOConstants, static: VIOStatic,
 ):
     """Streaming replay: T steady-state frames of ONE sequence in a single
-    `lax.scan` dispatch — amortizes per-dispatch/per-op launch overhead for
-    offline replay (the reference's only mode) while keeping sequential
-    semantics. Returns (state, stacked per-frame metrics)."""
+    `lax.scan` dispatch, keeping sequential semantics. Returns
+    (state, stacked per-frame outputs).
+
+    Note (measured): on the tunneled chip this does NOT beat per-frame
+    dispatch — the latency floor is per-OP device overhead inside the
+    program, which a sequential scan cannot amortize (only batching across
+    sequences does; see BASELINE.md). Kept for offline replay convenience
+    and for hardware where dispatch, not per-op, overhead dominates."""
 
     def body(s, inp):
         il, ir, g, a, m, k = inp

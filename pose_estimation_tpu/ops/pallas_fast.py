@@ -39,16 +39,18 @@ def _kernel(img_ref, raw_ref, out_ref, *, band: int, width: int):
     tile = img_ref[pl.ds(i * band, band + 2 * HALO), :]  # [band+8, W]
 
     # score rows cover the output band plus one NMS margin row on each side:
-    # local score row r <-> padded-image row i*band + (HALO-1) + r
+    # local score row r <-> padded-image row i*band + (HALO-1) + r.
+    # All value-level slices use STATIC offsets (Pallas TPU has no
+    # dynamic_slice lowering; the only dynamic index is the ref load above).
     def shift(arr, dy, dx):
-        # static shifts within the padded tile; rows have halo, columns wrap
-        # via roll (the wrapped columns land outside the detection border)
-        rolled = jnp.roll(arr, -dx, axis=1)
-        return jax.lax.dynamic_slice_in_dim(
-            rolled, HALO - 1 + dy, band + 2, axis=0
-        )
+        # rows have halo, columns wrap via roll (the wrapped columns land
+        # outside the detection border); dx == 0 must skip the roll (it
+        # lowers to a zero-size slice that Pallas rejects)
+        rolled = arr if dx == 0 else jnp.roll(arr, -dx, axis=1)
+        s = HALO - 1 + dy
+        return rolled[s : s + band + 2]
 
-    center = jax.lax.dynamic_slice_in_dim(tile, HALO - 1, band + 2, axis=0)
+    center = tile[HALO - 1 : HALO - 1 + band + 2]
 
     diffs = [shift(tile, dy, dx) - center for dy, dx in CIRCLE]  # 16x[band+2,W]
 
@@ -68,10 +70,10 @@ def _kernel(img_ref, raw_ref, out_ref, *, band: int, width: int):
 
     # 3x3 NMS with raster-order tie-breaking (match fast.nms3)
     def nshift(arr, dy, dx):
-        rolled = jnp.roll(arr, -dx, axis=1)
-        return jax.lax.dynamic_slice_in_dim(rolled, 1 + dy, band, axis=0)
+        rolled = arr if dx == 0 else jnp.roll(arr, -dx, axis=1)
+        return rolled[1 + dy : 1 + dy + band]
 
-    c = jax.lax.dynamic_slice_in_dim(score, 1, band, axis=0)
+    c = score[1 : 1 + band]
     keep = jnp.ones_like(c, dtype=jnp.bool_)
     strictly_before = True
     for dy in (-1, 0, 1):

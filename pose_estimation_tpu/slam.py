@@ -267,6 +267,7 @@ class VisualInertialSLAM:
                 self._metrics_sink.write(json.dumps(
                     {"ts": img_ts, **{k: float(v) for k, v in metrics.items()}}
                 ) + "\n")
+                self._metrics_sink.flush()
             self._frame_count += 1
             if (
                 self.reinit_on_bias_corruption

@@ -68,6 +68,24 @@ class TestHamming:
         np.testing.assert_array_equal(np.asarray(res.dist), 10.0)
 
 
+class TestCrossCheck:
+    def test_one_to_one_assignment(self):
+        """Two queries matched to the same train keep only the closer one."""
+        rng = np.random.default_rng(7)
+        t = rng.integers(0, 2, (4, 256)).astype(bool)
+        q = np.stack([t[0], t[0], t[1], t[2]])
+        # corrupt query 1 more than query 0 (both match train 0)
+        q[1, :20] = ~q[1, :20]
+        q[3, :5] = ~q[3, :5]
+        res = matching.match(
+            matching.pack_descriptors(jnp.asarray(q)),
+            matching.pack_descriptors(jnp.asarray(t)),
+            jnp.ones(4, bool), jnp.ones(4, bool), 100.0, 300.0,
+        )
+        keep = matching.cross_check(res, 4)
+        np.testing.assert_array_equal(np.asarray(keep), [True, False, True, True])
+
+
 class TestFast:
     def test_corners_superset_of_cv2(self):
         """Our per-pixel FAST decision (score > t) must agree with cv2.FAST
