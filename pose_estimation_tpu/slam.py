@@ -51,6 +51,17 @@ class VisualInertialSLAM:
         # check blocks the async dispatch pipeline)
         self.reinit_check_every = reinit_check_every
         self._frame_count = 0
+        # tracking-loss detection (the reference declares a LOST state but
+        # leaves it empty, `visual-inertial-slam.cpp:148-153`; here it is
+        # implemented: persistent low track counts trigger re-bootstrap)
+        self.min_tracked = 8
+        self.lost_after = 3
+        self._low_track_streak = 0
+        # initializer sanity gates (beyond the reference, which accepts any
+        # SfM/init output): minimum PnP inliers per accepted SfM frame and
+        # physical-plausibility checks on the solved gravity/velocities
+        self.min_sfm_inliers = 20
+        self.max_init_velocity = 20.0
         self.cm = CameraModel.from_config(cfg)
         self.consts, self.static = vio_mod.build_constants(cfg, self.cm, dtype)
         dtype = self.static.dtype
@@ -210,7 +221,13 @@ class VisualInertialSLAM:
                 )
                 r_np = np.asarray(rvec, np.float64)
                 t_np = np.asarray(tvec, np.float64)
-                if (
+                # Degenerate-PnP gate (the reference accepts any solvePnP
+                # output, `feature-tracker.cpp:539`; a garbage pose here
+                # poisons the whole initialization)
+                if int(n_inl) < self.min_sfm_inliers or np.linalg.norm(t_np) > 5.0:
+                    if self.verbose:
+                        print(f"[slam] SFM frame rejected (inl={int(n_inl)})")
+                elif (
                     np.linalg.norm(r_np) > self.cfg.sfm_rotation
                     or np.linalg.norm(t_np) > self.cfg.sfm_translation
                 ):
@@ -269,16 +286,23 @@ class VisualInertialSLAM:
                 ) + "\n")
                 self._metrics_sink.flush()
             self._frame_count += 1
-            if (
-                self.reinit_on_bias_corruption
-                and self._frame_count % self.reinit_check_every == 0
-                and bool(metrics["need_reinit"])
-            ):
-                # the reference detects this and leaves the transition
-                # commented out (`visual-inertial-slam.cpp:53-57`)
-                if self.verbose:
-                    print("[slam] bias corrupted -> reinitializing")
-                self._reinitialize()
+            if self._frame_count % self.reinit_check_every == 0:
+                # periodic host checks (each one syncs the pipeline)
+                if int(metrics["n_tracked"]) < self.min_tracked:
+                    self._low_track_streak += 1
+                else:
+                    self._low_track_streak = 0
+                if self._low_track_streak >= self.lost_after:
+                    if self.verbose:
+                        print("[slam] tracking lost -> re-bootstrapping")
+                    self._relocalize(img_l, img_r)
+                    return True
+                if self.reinit_on_bias_corruption and bool(metrics["need_reinit"]):
+                    # the reference detects this and leaves the transition
+                    # commented out (`visual-inertial-slam.cpp:53-57`)
+                    if self.verbose:
+                        print("[slam] bias corrupted -> reinitializing")
+                    self._reinitialize()
             return True
 
         return True  # LOST: relocalization is future work (as in reference)
@@ -323,6 +347,20 @@ class VisualInertialSLAM:
         )
         # 2. gravity + velocities (in the SfM/initial-body frame)
         g_est, v, _ = init_solvers.solve_gravity_velocity(R, p, ics)
+        # plausibility gates: a degenerate SfM chain produces unphysical
+        # gravity/velocities; retry the bootstrap rather than enter OK with
+        # a poisoned state (the reference has no such guard)
+        g_norm = float(jnp.linalg.norm(g_est))
+        v_max = float(jnp.max(jnp.linalg.norm(v, axis=-1)))
+        if not (
+            0.5 * self.cfg.gravity_magnitude < g_norm < 2.0 * self.cfg.gravity_magnitude
+            and v_max < self.max_init_velocity
+            and np.isfinite(g_norm)
+        ):
+            if self.verbose:
+                print(f"[slam] init rejected (|g|={g_norm:.2f}, vmax={v_max:.2f}); retrying SFM")
+            self._relocalize(img_l, img_r)
+            return
         init_g_unit = g_est / jnp.linalg.norm(g_est)
         # 3. alignment: rotate world so gravity matches the dataset axis
         profile = self.cfg.profile
@@ -372,6 +410,24 @@ class VisualInertialSLAM:
         self.state = State.OK
         if self.verbose:
             print(f"[slam] initialized; {int(n_stereo)} stereo features; OK")
+
+    def _relocalize(self, img_l, img_r):
+        """Tracking-loss recovery: restart the visual bootstrap (SFM ->
+        INITIALIZING) from the current frame, keeping the estimated biases.
+        The world frame re-anchors at the current pose (windowed VIO has no
+        global map to relocalize against — same limitation as the reference)."""
+        self.state = State.SFM
+        self._sfm_count = 0
+        self._sfm_R = []
+        self._sfm_p = []
+        self._sfm_ics = []
+        self._low_track_streak = 0
+        self._ref_feats = self._seed_ref(img_l)
+        keep_bg, keep_ba = self.vio.bg, self.vio.ba
+        self.vio = vio_mod.init_vio_state(self.static)
+        self.vio = self.vio._replace(
+            bg=keep_bg, ba=keep_ba, preint=pre.init_state(self._dtype)
+        )
 
     def _reinitialize(self):
         """Bias-corruption recovery: rerun the init solvers on the current
