@@ -127,7 +127,7 @@ def pnp_ransac(
     mask: jnp.ndarray,    # [N] validity
     k_mat: jnp.ndarray,   # [3, 3] camera matrix
     key: jax.Array,
-    n_hypotheses: int = 128,
+    n_hypotheses: int = 512,
     threshold_px: float = 8.0,
     gn_iters: int = 10,
 ) -> PnPResult:
@@ -152,14 +152,17 @@ def pnp_ransac(
 
     rvec0 = lie.so3_log(r_h[best])
     tvec0 = t_h[best]
-    w = inliers.astype(dtype)
-    rvec, tvec = gauss_newton_pose(obj, img_n, w, rvec0, tvec0, gn_iters)
-
-    # final inlier set under the refined pose
-    err2f = _reproj_err2(
-        lie.so3_exp(rvec)[None], tvec[None], obj, img_n
-    )[0]
-    inliers = (err2f < thr_n2) & mask
+    # local optimization (LO-RANSAC style): two rounds of GN on the current
+    # inlier set, re-deciding inliers in between — recovers from marginal
+    # minimal-sample hypotheses
+    rvec, tvec = rvec0, tvec0
+    for _ in range(2):
+        w = inliers.astype(dtype)
+        rvec, tvec = gauss_newton_pose(obj, img_n, w, rvec, tvec, gn_iters)
+        err2f = _reproj_err2(
+            lie.so3_exp(rvec)[None], tvec[None], obj, img_n
+        )[0]
+        inliers = (err2f < thr_n2) & mask
     return PnPResult(
         rvec=rvec, tvec=tvec, inliers=inliers, n_inliers=jnp.sum(inliers)
     )
