@@ -62,6 +62,17 @@ class TestEndToEnd:
         assert np.linalg.norm(bg) < 0.05
         assert np.linalg.norm(ba) < 4.5
 
+    def test_with_imu_noise(self):
+        """EuRoC-class IMU noise must not degrade tracking (whitened
+        residuals absorb it; vision noise dominates)."""
+        cfg = sim_config(keyframe_rotation=0.1, keyframe_translation=0.15)
+        sim = StereoInertialSim(cfg, n_landmarks=150, seed=0)
+        slam = VisualInertialSLAM(cfg, reinit_on_bias_corruption=False)
+        gt = sim.run(slam, duration=3.0, imu_noise=2.4e-3)
+        assert slam.state == State.OK
+        path = np.linalg.norm(np.diff(gt[:, 1:], axis=0), axis=1).sum()
+        assert ate_rmse(slam.trajectory, gt) < 0.10 * path
+
     def test_save_results_format(self, run_result, tmp_path):
         slam, gt = run_result
         out = tmp_path / "states.csv"
