@@ -114,11 +114,11 @@ def main():
     fps_single = measure(1, n_iter=8)
     # throughput mode: batch of sequences in one program — the
     # "VIO frames/sec/chip" headline (BASELINE.json config 5)
-    fps_batched = measure(64, n_iter=6)
+    fps_batched = measure(128, n_iter=5)
 
-    log(f"single-stream: {fps_single:.1f} FPS; batched(64): {fps_batched:.1f} FPS")
+    log(f"single-stream: {fps_single:.1f} FPS; batched(128): {fps_batched:.1f} FPS")
     print(json.dumps({
-        "metric": "vio_frames_per_sec_per_chip_euroc_752x480_batch64",
+        "metric": "vio_frames_per_sec_per_chip_euroc_752x480_batch128",
         "value": round(fps_batched, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_batched / REFERENCE_FRONTEND_FPS, 3),

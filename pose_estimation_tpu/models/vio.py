@@ -16,7 +16,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pose_estimation_tpu.backend import ba as ba_mod
 from pose_estimation_tpu.backend.ba import Calib, LandmarkObs
