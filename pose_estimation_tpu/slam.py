@@ -460,6 +460,34 @@ class VisualInertialSLAM:
             win.ics.ba_i[-1] + win.dba[-1],
         ))
 
+    def save_checkpoint(self, path: str):
+        """Persist the device state + FSM position (the reference has no
+        checkpointing at all; see pose_estimation_tpu/checkpoint.py)."""
+        from pose_estimation_tpu import checkpoint as ckpt
+
+        ckpt.save_checkpoint(path, self.vio, meta={
+            "state": self.state.name,
+            "frame_count": self._frame_count,
+            "key": [int(v) for v in np.asarray(jax.random.key_data(self._key))],
+            # host-side IMU queue (pending samples between frames)
+            "imu_ts": list(self._imu_ts),
+            "imu_data": [list(map(float, row)) for row in self._imu_data],
+        })
+
+    def load_checkpoint(self, path: str):
+        """Resume from a checkpoint written by save_checkpoint."""
+        from pose_estimation_tpu import checkpoint as ckpt
+
+        self.vio, meta = ckpt.load_checkpoint(path, self.static)
+        self.state = State[meta.get("state", "OK")]
+        self._frame_count = int(meta.get("frame_count", 0))
+        if "key" in meta:
+            self._key = jax.random.wrap_key_data(
+                jnp.asarray(meta["key"], jnp.uint32)
+            )
+        self._imu_ts = [int(t) for t in meta.get("imu_ts", [])]
+        self._imu_data = [np.asarray(r, np.float64) for r in meta.get("imu_data", [])]
+
     def save_results(self, path: str = "states.csv"):
         """CSV dump byte-compatible with the reference
         (`visual-inertial-slam.cpp:175-204`)."""
