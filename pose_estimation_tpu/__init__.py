@@ -16,3 +16,21 @@ from pose_estimation_tpu.utils.config import (  # noqa: F401
     WINDOW_SIZE,
     load_config,
 )
+
+
+def __getattr__(name):
+    # lazy top-level exports (importing them eagerly would pull in jax
+    # before callers can configure platforms)
+    if name == "VisualInertialSLAM":
+        from pose_estimation_tpu.slam import VisualInertialSLAM
+
+        return VisualInertialSLAM
+    if name == "SensorType":
+        from pose_estimation_tpu.slam import SensorType
+
+        return SensorType
+    if name == "CameraModel":
+        from pose_estimation_tpu.camera import CameraModel
+
+        return CameraModel
+    raise AttributeError(name)
