@@ -8,6 +8,15 @@ preintegration + rectify + ORB on BOTH stereo images + 3 matching passes +
 motion-only BA + pool update) at EuRoC scale (752x480, 800 features, 8
 levels), single chip, single sequence.
 
+Measurement hygiene (nothing constant-foldable):
+  * images are ARGUMENTS of the jitted step, not closed-over constants;
+  * every iteration feeds a DIFFERENT pre-generated stereo frame, with
+    realistic texture (filtered noise) and realistic disparity (the right
+    image is a horizontally warped left image, disparity ~ 4-40 px);
+  * PRNG keys vary per iteration;
+  * timing chains the state and forces a scalar host readback (the axon
+    backend's block_until_ready returns early).
+
 Baseline: the reference's own front-end micro-benchmark measured on this
 machine (see BASELINE.md): 76.7 FPS for remap -> ORB-500 -> match ->
 RANSAC -> triangulate on ONE 672x376 image at -O2. That is a conservative
@@ -25,6 +34,7 @@ import sys
 import time
 
 REFERENCE_FRONTEND_FPS = 76.7  # measured, BASELINE.md
+N_DISTINCT = 4                 # distinct stereo frames cycled through
 
 
 def log(*a):
@@ -54,6 +64,47 @@ def supervise():
     return 1
 
 
+def make_stereo_frames(h, w, n, rng):
+    """n distinct textured stereo pairs with plausible disparity.
+
+    Left: band-limited noise (moving-average-filtered uniform) so FAST finds
+    corners at natural densities. Right: left warped horizontally by a
+    smooth disparity field (near-ground larger disparity at the bottom,
+    4-40 px), plus independent pixel noise.
+    """
+    import numpy as np
+
+    def texture():
+        img = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        # separable 5x5 box blur, then re-stretch contrast
+        k = np.ones(5, np.float32) / 5
+        img = np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="same"), 0, img)
+        img = np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="same"), 1, img)
+        img = (img - img.min()) / max(float(np.ptp(img)), 1e-6) * 255
+        return img.astype(np.float32)
+
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = []
+    for _ in range(n):
+        left = texture()
+        # smooth disparity: 4 px at the top to ~40 px at the bottom, with a
+        # gentle horizontal ripple (depth structure)
+        disp = 4.0 + 36.0 * (ys / h) + 3.0 * np.sin(xs / 61.0)
+        src_x = np.clip(xs + disp, 0, w - 1)
+        x0 = np.floor(src_x).astype(np.int32)
+        fx = src_x - x0
+        x1 = np.minimum(x0 + 1, w - 1)
+        right = (
+            left[ys.astype(np.int32), x0] * (1 - fx)
+            + left[ys.astype(np.int32), x1] * fx
+        )
+        right = right + rng.normal(0, 1.0, right.shape)
+        frames.append((left, right.astype(np.float32)))
+    return frames
+
+
 def main():
     import functools
 
@@ -72,57 +123,90 @@ def main():
     rng = np.random.default_rng(0)
     h, w = cfg.image_height, cfg.image_width
     m = cfg.imu_chunk
-    img = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
-    gyr = jnp.asarray(rng.normal(size=(m, 3)) * 0.1, jnp.float32)
-    acc = jnp.asarray(
-        rng.normal(size=(m, 3)) * 0.3 + np.array([9.81, 0, 0]), jnp.float32)
+    frames = [
+        (jnp.asarray(l), jnp.asarray(r))
+        for l, r in make_stereo_frames(h, w, N_DISTINCT, rng)
+    ]
+    gyrs = [
+        jnp.asarray(rng.normal(size=(m, 3)) * 0.1, jnp.float32)
+        for _ in range(N_DISTINCT)
+    ]
+    accs = [
+        jnp.asarray(
+            rng.normal(size=(m, 3)) * 0.3 + np.array([9.81, 0, 0]), jnp.float32
+        )
+        for _ in range(N_DISTINCT)
+    ]
     mask = jnp.arange(m) < 20
-    key = jax.random.PRNGKey(0)
     fn = functools.partial(vio_mod.ok_step, consts=consts, static=static)
     log("devices:", jax.devices())
 
-    def measure(batch, n_iter=6):
-        """Chained-state timing with a scalar readback barrier (the axon
-        backend's block_until_ready is unreliable; a host readback of data
-        derived from the result cannot lie)."""
+    def measure(batch, n_iter=8):
+        """Chained-state timing with a scalar readback barrier. Images, IMU
+        and keys are per-iteration-varying jitted-function ARGUMENTS."""
         if batch == 1:
-            step = jax.jit(lambda s: fn(s, img, img, gyr, acc, mask, key)[0])
+            step = jax.jit(lambda s, il, ir, g, a, k: fn(s, il, ir, g, a, mask, k)[0])
             st = vio_mod.init_vio_state(static)
+            args = [
+                (frames[i % N_DISTINCT][0], frames[i % N_DISTINCT][1],
+                 gyrs[i % N_DISTINCT], accs[i % N_DISTINCT],
+                 jax.random.PRNGKey(i))
+                for i in range(n_iter)
+            ]
         else:
-            vfn = jax.vmap(fn, in_axes=(0, None, None, None, None, None, 0))
-            keys = jax.random.split(key, batch)
-            step = jax.jit(lambda s: vfn(s, img, img, gyr, acc, mask, keys)[0])
+            vfn = jax.vmap(fn, in_axes=(0, 0, 0, None, None, None, 0))
+            step = jax.jit(lambda s, il, ir, g, a, k: vfn(s, il, ir, g, a, mask, k)[0])
             st = jax.tree.map(
                 lambda a: jnp.broadcast_to(a, (batch,) + a.shape),
                 vio_mod.init_vio_state(static),
             )
+            # batch of sequences: tile the distinct frames across the batch,
+            # rolled per iteration so every sequence sees varying data
+            stacks = []
+            for i in range(n_iter):
+                idx = (np.arange(batch) + i) % N_DISTINCT
+                il = jnp.stack([frames[j][0] for j in idx])
+                ir = jnp.stack([frames[j][1] for j in idx])
+                stacks.append(
+                    (il, ir, gyrs[i % N_DISTINCT], accs[i % N_DISTINCT],
+                     jax.random.split(jax.random.PRNGKey(i), batch))
+                )
+            args = stacks
         t0 = time.time()
-        s2 = step(st)
+        s2 = step(st, *args[0])
         float(jax.tree.leaves(s2)[0].ravel()[0])
         log(f"B={batch}: compile+first {time.time() - t0:.1f}s")
         t0 = time.time()
         s = st
-        for _ in range(n_iter):
-            s = step(s)
+        for i in range(n_iter):
+            s = step(s, *args[i])
         float(jax.tree.leaves(s)[0].ravel()[0])
         dt = (time.time() - t0) / n_iter
         log(f"B={batch}: {dt * 1e3:.1f} ms/step -> {batch / dt:.1f} frames/s")
-        return batch / dt
+        return batch / dt, dt
 
-    # single-sequence latency mode (dominated by per-op dispatch latency on
-    # the tunneled chip; marginal per-frame compute is ~2.5 ms)
-    fps_single = measure(1, n_iter=8)
+    # single-sequence latency mode
+    fps_single, dt1 = measure(1, n_iter=8)
     # throughput mode: batch of sequences in one program — the
     # "VIO frames/sec/chip" headline (BASELINE.json config 5)
-    fps_batched = measure(128, n_iter=5)
+    fps_b128, dt128 = measure(128, n_iter=5)
+    # marginal per-frame compute from the batch scaling
+    fps_b32, dt32 = measure(32, n_iter=5)
+    marginal_ms = (dt128 - dt32) * 1e3 / (128 - 32)
 
-    log(f"single-stream: {fps_single:.1f} FPS; batched(128): {fps_batched:.1f} FPS")
+    log(
+        f"single-stream: {fps_single:.1f} FPS; batched(128): {fps_b128:.1f} "
+        f"FPS; marginal {marginal_ms:.2f} ms/frame"
+    )
     print(json.dumps({
         "metric": "vio_frames_per_sec_per_chip_euroc_752x480_batch128",
-        "value": round(fps_batched, 2),
+        "value": round(fps_b128, 2),
         "unit": "frames/s/chip",
-        "vs_baseline": round(fps_batched / REFERENCE_FRONTEND_FPS, 3),
+        "vs_baseline": round(fps_b128 / REFERENCE_FRONTEND_FPS, 3),
         "single_stream_fps": round(fps_single, 2),
+        "single_stream_ms": round(dt1 * 1e3, 2),
+        "marginal_ms_per_frame": round(marginal_ms, 3),
+        "batch32_fps": round(fps_b32, 2),
     }))
 
 

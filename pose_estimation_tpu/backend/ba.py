@@ -58,15 +58,18 @@ class LandmarkObs(NamedTuple):
     mask: jax.Array
 
 
-def motion_only_ba(
+def build_problem(
     win: WindowState,
     obs: LandmarkObs,
     calib: Calib,
     gravity: jax.Array,
     prior_factor: float,
-    max_iterations: int = 20,
 ):
-    """Returns (delta_pose [W,6], delta_vdbga [W,9], info)."""
+    """Assemble the motion-only BA least-squares problem.
+
+    Returns (residual_fn, jac [m,n], weight_fn, x0 [n], aux) — the exact
+    problem `motion_only_ba` solves, exposed so an independent solver
+    (scipy / Ceres) can act as oracle on it (SURVEY.md section 4)."""
     wsize = win.R.shape[0] - 1
     L = obs.pos.shape[0]
     dtype = win.R.dtype
@@ -95,92 +98,115 @@ def motion_only_ba(
     f_blk = jnp.where(obs_mask[..., None, None], f_blk, 0.0)
 
     # ---- constant whitened Jacobians for the W constraint pairs ----
+    # All W pairs evaluated in ONE vmapped program (the per-pair python loop
+    # costs W x the op count; on the dispatch-latency-bound chip op count IS
+    # latency, see BASELINE.md).
     n = 6 * wsize + 9 * wsize
     m_pairs = 15 * wsize
     m_rep = L * wsize * 2
-    jac = jnp.zeros((m_pairs + m_rep, n), dtype)
 
-    def pair_ic(k):
-        return jax.tree.map(lambda a: a[k], win.ics)
+    R_i, R_j = win.R[:-1], win.R[1:]
+    p_i, p_j = win.p[:-1], win.p[1:]
+    v_i, v_j = win.v[:-1], win.v[1:]
+    dbg_i, dbg_j = win.dbg[:-1], win.dbg[1:]
+    dba_i, dba_j = win.dba[:-1], win.dba[1:]
+    # committed-bias offsets between each pair's delta references: slot k's
+    # deltas reference ics.bg_i[k] (the bias committed AT keyframe k, which
+    # the outgoing pair was preintegrated with); the newest pair's two ends
+    # share a reference (offset 0). See residuals.imu_residual docstring.
+    off_bg = jnp.concatenate(
+        [win.ics.bg_i[1:] - win.ics.bg_i[:-1], jnp.zeros((1, 3), dtype)]
+    )
+    off_ba = jnp.concatenate(
+        [win.ics.ba_i[1:] - win.ics.ba_i[:-1], jnp.zeros((1, 3), dtype)]
+    )
 
-    for k in range(wsize):
-        ic = pair_ic(k)
-        w_imu = is_imu[k].astype(dtype)
-        w_pri = is_prior[k].astype(dtype)
-        jpi, jvi, jpj, jvj = res.imu_jacobians(
-            win.R[k], win.p[k], win.v[k], win.dbg[k], win.dba[k],
-            win.R[k + 1], win.p[k + 1], win.v[k + 1],
-            ic, gravity,
-        )
-        jpj_p, jvj_p = res.prior_jacobians(
-            win.R[k], win.dbg[k], win.R[k + 1], ic, prior_factor
-        )
-        r0 = 15 * k
-        # frame j = slot k+1 -> param block k
-        jac = jac.at[r0 : r0 + 15, 6 * k : 6 * k + 6].set(
-            w_imu * jpj + w_pri * jpj_p
-        )
-        jac = jac.at[r0 : r0 + 15, 6 * wsize + 9 * k : 6 * wsize + 9 * k + 9].set(
-            w_imu * jvj + w_pri * jvj_p
-        )
-        if k >= 1:
-            # frame i = slot k -> param block k-1 (imu pairs only)
-            jac = jac.at[r0 : r0 + 15, 6 * (k - 1) : 6 * (k - 1) + 6].set(w_imu * jpi)
-            jac = jac.at[
-                r0 : r0 + 15, 6 * wsize + 9 * (k - 1) : 6 * wsize + 9 * (k - 1) + 9
-            ].set(w_imu * jvi)
+    jpi, jvi, jpj, jvj = jax.vmap(
+        res.imu_jacobians, in_axes=(0,) * 8 + (0, None)
+    )(R_i, p_i, v_i, dbg_i, dba_i, R_j, p_j, v_j, win.ics, gravity)
+    jpj_p, jvj_p = jax.vmap(
+        res.prior_jacobians, in_axes=(0, 0, 0, 0, None)
+    )(R_i, dbg_i, R_j, win.ics, prior_factor)
+
+    w_imu = is_imu.astype(dtype)[:, None, None]
+    w_pri = is_prior.astype(dtype)[:, None, None]
+    blk_pj = w_imu * jpj + w_pri * jpj_p          # [W,15,6] frame-j pose
+    blk_vj = w_imu * jvj + w_pri * jvj_p          # [W,15,9]
+    blk_pi = w_imu * jpi                          # frame-i blocks: imu only
+    blk_vi = w_imu * jvi
+
+    # block placement via one-hot selectors (no scatter): pair k's frame-j
+    # blocks land in param column k, frame-i blocks in column k-1 (none for
+    # k = 0).
+    sel_j = jnp.eye(wsize, dtype=dtype)
+    sel_i = jnp.concatenate(
+        [jnp.zeros((1, wsize), dtype), jnp.eye(wsize, dtype=dtype)[:-1]], axis=0
+    )
+    pose_cols = (
+        jnp.einsum("kab,kf->kafb", blk_pj, sel_j)
+        + jnp.einsum("kab,kf->kafb", blk_pi, sel_i)
+    ).reshape(m_pairs, 6 * wsize)
+    vb_cols = (
+        jnp.einsum("kab,kf->kafb", blk_vj, sel_j)
+        + jnp.einsum("kab,kf->kafb", blk_vi, sel_i)
+    ).reshape(m_pairs, 9 * wsize)
+    jac_pairs = jnp.concatenate([pose_cols, vb_cols], axis=1)   # [15W, 15W]
 
     # reprojection rows: observation (l, w) occupies rows [base + (l*W+w)*2)
     # and columns [6w, 6w+6). One-hot frame selector avoids scatter.
-    frame_sel = jnp.eye(wsize, dtype=dtype)  # [W, F]
-    rep_rows = jnp.einsum("lwab,wf->lwafb", f_blk, frame_sel).reshape(
-        L * wsize * 2, 6 * wsize
+    rep_rows = jnp.einsum("lwab,wf->lwafb", f_blk, sel_j).reshape(
+        m_rep, 6 * wsize
     )
-    jac = jac.at[m_pairs:, 0 : 6 * wsize].set(rep_rows)
+    jac = jnp.concatenate(
+        [
+            jac_pairs,
+            jnp.concatenate(
+                [rep_rows, jnp.zeros((m_rep, 9 * wsize), dtype)], axis=1
+            ),
+        ],
+        axis=0,
+    )
 
     # ---- residual closure ----
     # whiteners are constant across LM iterations; hoist them out of the
-    # while_loop (16 cholesky lowerings inside the loop body otherwise)
-    lts_imu = [res.whitener(pair_ic(k).inv_cov) for k in range(wsize)]
-    lts_pri = [
-        res.whitener(pair_ic(k).inv_cov * prior_factor) for k in range(wsize)
-    ]
+    # while_loop (cholesky lowerings inside the loop body otherwise)
+    lts_imu = res.whitener(win.ics.inv_cov)                     # [W,15,15]
+    lts_pri = res.whitener(win.ics.inv_cov * prior_factor)
 
     def residual_fn(x):
         dpose = x[0 : 6 * wsize].reshape(wsize, 6)
         dvdbga = x[6 * wsize :].reshape(wsize, 9)
-        parts = []
-        for k in range(wsize):
-            ic = pair_ic(k)
-            dp_j = dpose[k]
-            dv_j = dvdbga[k]
-            if k >= 1:
-                dp_i, dv_i = dpose[k - 1], dvdbga[k - 1]
-            else:
-                dp_i, dv_i = jnp.zeros(6, dtype), jnp.zeros(9, dtype)
-            r_imu = res.imu_residual(
-                dp_i[0:3], dp_i[3:6], dv_i[0:3], dv_i[3:6], dv_i[6:9],
-                dp_j[0:3], dp_j[3:6], dv_j[0:3], dv_j[3:6], dv_j[6:9],
-                win.R[k], win.p[k], win.v[k], win.dbg[k], win.dba[k],
-                win.R[k + 1], win.p[k + 1], win.v[k + 1],
-                win.dbg[k + 1], win.dba[k + 1],
-                ic, gravity, lt=lts_imu[k],
-            )
-            r_pri = res.prior_residual(
-                dp_j[0:3], dp_j[3:6], dv_j[0:3], dv_j[3:6], dv_j[6:9],
-                win.R[k], win.p[k], win.v[k], win.dbg[k], win.dba[k],
-                win.R[k + 1], win.p[k + 1], win.v[k + 1],
-                win.dbg[k + 1], win.dba[k + 1],
-                ic, gravity, prior_factor, lt=lts_pri[k],
-            )
-            parts.append(
-                jnp.where(is_imu[k], r_imu, jnp.where(is_prior[k], r_pri, 0.0))
-            )
+        # increments of frame i (= param block k-1; zero for the first pair)
+        dpose_i = jnp.concatenate([jnp.zeros((1, 6), dtype), dpose[:-1]], 0)
+        dvdbga_i = jnp.concatenate([jnp.zeros((1, 9), dtype), dvdbga[:-1]], 0)
+
+        r_imu = jax.vmap(
+            res.imu_residual, in_axes=(0,) * 20 + (0, None, 0, 0, 0)
+        )(
+            dpose_i[:, 0:3], dpose_i[:, 3:6],
+            dvdbga_i[:, 0:3], dvdbga_i[:, 3:6], dvdbga_i[:, 6:9],
+            dpose[:, 0:3], dpose[:, 3:6],
+            dvdbga[:, 0:3], dvdbga[:, 3:6], dvdbga[:, 6:9],
+            R_i, p_i, v_i, dbg_i, dba_i,
+            R_j, p_j, v_j, dbg_j, dba_j,
+            win.ics, gravity, lts_imu, off_bg, off_ba,
+        )
+        r_pri = jax.vmap(
+            res.prior_residual, in_axes=(0,) * 15 + (0, None, None, 0)
+        )(
+            dpose[:, 0:3], dpose[:, 3:6],
+            dvdbga[:, 0:3], dvdbga[:, 3:6], dvdbga[:, 6:9],
+            R_i, p_i, v_i, dbg_i, dba_i,
+            R_j, p_j, v_j, dbg_j, dba_j,
+            win.ics, gravity, prior_factor, lts_pri,
+        )
+        pairs = jnp.where(
+            is_imu[:, None], r_imu, jnp.where(is_prior[:, None], r_pri, 0.0)
+        )
         # linear reprojection residual: err + F dpose_w
         r_rep = err + jnp.einsum("lwab,wb->lwa", f_blk, dpose)
         r_rep = jnp.where(obs_mask[..., None], r_rep, 0.0)
-        parts.append(r_rep.reshape(-1))
-        return jnp.concatenate(parts)
+        return jnp.concatenate([pairs.reshape(-1), r_rep.reshape(-1)])
 
     # ---- Huber weights per landmark block (loss on reprojection only,
     # `optimizer.cpp:36,135`; prior/IMU use NULL loss `:41,47`) ----
@@ -193,12 +219,33 @@ def motion_only_ba(
         return jnp.concatenate([pair_w, w_rep])
 
     x0 = jnp.zeros(n, dtype)
+    aux = {
+        "num_landmarks": jnp.sum(lm_valid),
+        "num_observations": jnp.sum(obs_mask),
+        "wsize": wsize,
+    }
+    return residual_fn, jac, weight_fn, x0, aux
+
+
+def motion_only_ba(
+    win: WindowState,
+    obs: LandmarkObs,
+    calib: Calib,
+    gravity: jax.Array,
+    prior_factor: float,
+    max_iterations: int = 20,
+):
+    """Returns (delta_pose [W,6], delta_vdbga [W,9], info)."""
+    wsize = win.R.shape[0] - 1
+    residual_fn, jac, weight_fn, x0, aux = build_problem(
+        win, obs, calib, gravity, prior_factor
+    )
     x, info = lm_mod.lm_solve(
         residual_fn, jac, x0, weight_fn,
         lm_mod.LMOptions(max_iterations=max_iterations),
     )
     delta_pose = x[0 : 6 * wsize].reshape(wsize, 6)
     delta_vdbga = x[6 * wsize :].reshape(wsize, 9)
-    info["num_landmarks"] = jnp.sum(lm_valid)
-    info["num_observations"] = jnp.sum(obs_mask)
+    info["num_landmarks"] = aux["num_landmarks"]
+    info["num_observations"] = aux["num_observations"]
     return delta_pose, delta_vdbga, info

@@ -132,12 +132,20 @@ def full_ba(
                 dp_i, dv_i = dpose[k - 1], dvdbga[k - 1]
             else:
                 dp_i, dv_i = jnp.zeros(6, dtype), jnp.zeros(9, dtype)
+            # committed-bias reference offsets between the pair's two slots
+            # (see residuals.imu_residual docstring; ba.build_problem)
+            if k < wsize - 1:
+                off_bg = win.ics.bg_i[k + 1] - win.ics.bg_i[k]
+                off_ba = win.ics.ba_i[k + 1] - win.ics.ba_i[k]
+            else:
+                off_bg = off_ba = jnp.zeros(3, dtype)
             r_imu = res.imu_residual(
                 dp_i[0:3], dp_i[3:6], dv_i[0:3], dv_i[3:6], dv_i[6:9],
                 dp_j[0:3], dp_j[3:6], dv_j[0:3], dv_j[3:6], dv_j[6:9],
                 win.R[k], win.p[k], win.v[k], win.dbg[k], win.dba[k],
                 win.R[k + 1], win.p[k + 1], win.v[k + 1],
                 win.dbg[k + 1], win.dba[k + 1], ic, gravity, lt=lts_imu[k],
+                off_bg=off_bg, off_ba=off_ba,
             )
             r_pri = res.prior_residual(
                 dp_j[0:3], dp_j[3:6], dv_j[0:3], dv_j[3:6], dv_j[6:9],

@@ -120,6 +120,56 @@ def solve_alignment(init_g: jax.Array, unit_g: jax.Array, axes, max_iterations: 
     return delta_r, info
 
 
+def refine_gravity(
+    R, p, ics, unit_g, axes, gravity,
+    max_iterations: int = 50, rounds: int = 3,
+):
+    """Online gravity refinement over an accumulated KEYFRAME chain.
+
+    The 4-frame init window cannot separate a small gravity-direction error
+    from accelerometer bias (the error is absorbed into ba and eats ATE; the
+    reference never refines after init). Re-running the gravity/alignment/
+    acc-bias solves over a LONG chain of optimized keyframe states makes the
+    two observable. `rounds` block-coordinate passes (g+v solve -> world
+    alignment -> acc-bias solve -> constraint repropagation) are chained so
+    the g/ba coupling converges instead of being solved once at the wrong
+    bias. Inputs: R/p [K, ...] keyframe states, ics [K-1 stacked] constraints
+    repropagated to the current bias estimate. Returns (g_est [3] of the
+    final round, delta_r [3] TOTAL world-alignment rotation, dba [3] TOTAL
+    acc-bias increment).
+    """
+    import jax
+
+    from pose_estimation_tpu.utils import lie
+
+    dtype = R.dtype
+    zero3 = jnp.zeros(3, dtype)
+    total_rot = jnp.eye(3, dtype=dtype)
+    total_dba = zero3
+    g_est = zero3
+    for _ in range(rounds):
+        g_est, v_est, _ = solve_gravity_velocity(R, p, ics, max_iterations)
+        g_unit = g_est / jnp.linalg.norm(g_est)
+        delta_r, _ = solve_alignment(g_unit, unit_g, axes, max_iterations)
+        d_rm = lie.so3_exp(delta_r)
+        R = d_rm[None] @ R
+        p = p @ d_rm.T
+        v2 = v_est @ d_rm.T
+        total_rot = d_rm @ total_rot
+        dba, _ = solve_acc_bias(R, v2, p, ics, gravity, max_iterations)
+        ics = jax.vmap(pre_repropagate)(
+            ics, jnp.zeros_like(ics.bg_i), jnp.broadcast_to(dba, ics.ba_i.shape)
+        )
+        total_dba = total_dba + dba
+    return g_est, lie.so3_log(total_rot), total_dba
+
+
+def pre_repropagate(ic, dbg, dba):
+    from pose_estimation_tpu.imu.preintegration import repropagate
+
+    return repropagate(ic, dbg, dba)
+
+
 def solve_acc_bias(R, v, p, ics, gravity, max_iterations: int = 50):
     """delta_ba [3] — `optimizer.cpp:306-329` (with per-pair constraints)."""
     w = R.shape[0]

@@ -37,6 +37,8 @@ class LMOptions(NamedTuple):
 
 class LMState(NamedTuple):
     x: jax.Array
+    r: jax.Array         # residual at x (carried: ONE eval per iteration)
+    w: jax.Array         # IRLS weights at x
     cost: jax.Array
     lam: jax.Array
     nu: jax.Array        # rejection growth factor
@@ -70,11 +72,12 @@ def lm_solve(
     dtype = x0.dtype
 
     def body(s: LMState) -> LMState:
-        r = residual_fn(s.x)
-        w = weight_fn(r)
-        jtw = jac.T * w[None, :]
+        # residual/weights at s.x are CARRIED from the previous iteration
+        # (identical math to re-evaluating; halves the loop-body op count,
+        # which is what single-stream latency is made of on this chip)
+        jtw = jac.T * s.w[None, :]
         h = jtw @ jac                      # [n, n]
-        g = jtw @ r                        # [n]
+        g = jtw @ s.r                      # [n]
         d = jnp.diag(h)
         d = jnp.where(d > 0, d, 1.0)       # guard unobserved params
         h_damped = h + s.lam * jnp.diag(d)
@@ -115,6 +118,8 @@ def lm_solve(
 
         return LMState(
             x=jnp.where(accept, x_new, s.x),
+            r=jnp.where(accept, r_new, s.r),
+            w=jnp.where(accept, w_new, s.w),
             cost=jnp.where(accept, new_cost, s.cost),
             lam=jnp.where(accept, lam_acc, lam_rej),
             nu=jnp.where(accept, jnp.asarray(2.0, dtype), s.nu * 2.0),
@@ -128,6 +133,8 @@ def lm_solve(
 
     init = LMState(
         x=x0,
+        r=r0,
+        w=w0,
         cost=cost0,
         lam=jnp.asarray(options.initial_lambda, dtype),
         nu=jnp.asarray(2.0, dtype),

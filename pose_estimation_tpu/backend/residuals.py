@@ -39,12 +39,19 @@ def imu_residual(
     dr_j, dp_j, dv_j, ddbg_j, ddba_j,
     R_i, p_i, v_i, dbg_i, dba_i,
     R_j, p_j, v_j, dbg_j, dba_j,
-    ic, gravity, lt=None,
+    ic, gravity, lt=None, off_bg=0.0, off_ba=0.0,
 ):
     """Whitened 15-residual [r_R, r_v, r_p, r_bg, r_ba].
 
     `lt` optionally supplies the precomputed whitener L^T (it is constant
-    across solver iterations — hoist it out of optimization loops)."""
+    across solver iterations — hoist it out of optimization loops).
+
+    `off_bg`/`off_ba` are the committed-bias offsets between the two frames'
+    delta references (`ref(j) - ref(i)`): window slots straddle keyframe
+    bias commits, so the absolute bias change is `off + dbg_j - dbg_i`, not
+    `dbg_j - dbg_i`. Without the offset every committed keyframe bias jump
+    escapes the random-walk penalty and the bias estimate random-walks with
+    per-keyframe re-estimation noise (observed: 1-2 m/s^2 steps)."""
     up_dbg_i = dbg_i + ddbg_i
     up_dba_i = dba_i + ddba_i
 
@@ -65,8 +72,8 @@ def imu_residual(
         ic.dp + ic.d_p_bg @ up_dbg_i + ic.d_p_ba @ up_dba_i
     )
 
-    r_bg = dbg_j + ddbg_j - up_dbg_i
-    r_ba = dba_j + ddba_j - up_dba_i
+    r_bg = off_bg + dbg_j + ddbg_j - up_dbg_i
+    r_ba = off_ba + dba_j + ddba_j - up_dba_i
 
     res = jnp.concatenate([r_R, r_v, r_p, r_bg, r_ba])
     if lt is None:

@@ -262,30 +262,25 @@ def integrate_chunk(
     # bias-Jacobian forcing term b_j = [-Jr dt; 0; 0] (9x3)
     b = jnp.concatenate([-jr * dt, zero, zero], axis=-2)                  # [M,9,3]
 
-    # ---- affine scan for (d_R_bg; d_v_bg; d_p_bg) ----
-    def affine_combine(c1, c2):
-        a1, b1 = c1
-        a2, b2 = c2
-        return a2 @ a1, a2 @ b1 + b2
+    # ---- ONE fused scan for the affine bias-Jacobian recurrence AND the
+    # quadratic covariance recurrence (they share the same A_j chain, so the
+    # combined element (A, b, Q) halves the scan op count vs two scans) ----
+    def fused_combine(c1, c2):
+        a1, b1, q1 = c1
+        a2, b2, q2 = c2
+        return (
+            a2 @ a1,
+            a2 @ b1 + b2,
+            a2 @ q1 @ jnp.swapaxes(a2, -1, -2) + q2,
+        )
 
-    a_tot, b_tot = jax.tree.map(
+    a_tot, b_tot, q_tot = jax.tree.map(
         lambda x: x[-1],
-        jax.lax.associative_scan(affine_combine, (a_mat, b)),
+        jax.lax.associative_scan(fused_combine, (a_mat, b, q)),
     )
     x0 = jnp.concatenate([state.d_R_bg, state.d_v_bg, state.d_p_bg], axis=0)
     x_new = a_tot @ x0 + b_tot
-
-    # ---- quadratic scan for the covariance ----
-    def cov_combine(c1, c2):
-        a1, q1 = c1
-        a2, q2 = c2
-        return a2 @ a1, a2 @ q1 @ jnp.swapaxes(a2, -1, -2) + q2
-
-    a_tot2, q_tot = jax.tree.map(
-        lambda x: x[-1],
-        jax.lax.associative_scan(cov_combine, (a_mat, q)),
-    )
-    cov_new = a_tot2 @ state.cov9 @ a_tot2.T + q_tot
+    cov_new = a_tot @ state.cov9 @ a_tot.T + q_tot
 
     # ---- (d_v_ba, d_p_ba): closed-form cumsums (constant A block) ----
     r_sum = jnp.cumsum(r_prev * mskf[..., None], axis=0)                  # [M,3,3]

@@ -33,6 +33,14 @@ class VIOConstants(NamedTuple):
 
     map_l: jax.Array       # [H, W, 2] rectify map, left
     map_r: jax.Array
+    # raw-camera intrinsics + rectifying rotations, for sparse keypoint
+    # rectification (rectify_mode="sparse"): k_* = (fx, fy, cx, cy)
+    k_raw_l: jax.Array     # [4]
+    k_raw_r: jax.Array
+    dist_l: jax.Array      # [5]
+    dist_r: jax.Array
+    r1: jax.Array          # [3, 3]
+    r2: jax.Array
     p1: jax.Array          # [3, 4] rectified projection, left
     p2: jax.Array
     k_rect: jax.Array      # [3, 3] rectified camera matrix (for PnP)
@@ -63,6 +71,18 @@ class VIOStatic:
     cur_capacity: int
     pool_capacity: int
     window: int
+    # RANSAC minimal solver for the SfM bootstrap, from the reference's
+    # `solvePnP` switch (`feature-tracker.cpp:513-531`):
+    # 0 -> "dlt" (ITERATIVE), 1/3/4 -> "epnp" (EPNP/DLS/UPNP),
+    # 2/5 -> "epnp_min" (P3P/AP3P: reduced 5-point samples)
+    pnp_solver: str = "dlt"
+    # "sparse": ORB on raw frames + analytic keypoint rectification (no
+    # dense remap on the hot path); "dense": remap full frames first
+    # (reference-faithful, `feature-tracker.cpp:75-76`)
+    rectify_mode: str = "sparse"
+    # Schur full BA (pose + landmark refinement) on keyframes
+    full_ba_keyframes: bool = False
+    full_ba_iterations: int = 8
     dtype: object = jnp.float32
 
 
@@ -78,9 +98,25 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
     p_cb_rect = cm.R1 @ cm.p_cb
     r_bc_rect = r_cb_rect.T
     p_bc_rect = -r_bc_rect @ p_cb_rect
+    def k4(k):
+        import numpy as np
+        k = np.asarray(k)
+        return jnp.asarray([k[0, 0], k[1, 1], k[0, 2], k[1, 2]], dtype)
+
+    def d5(d):
+        import numpy as np
+        d = list(np.ravel(d)) + [0.0] * 5
+        return jnp.asarray(d[:5], dtype)
+
     consts = VIOConstants(
         map_l=jnp.asarray(cm.map_left, dtype),
         map_r=jnp.asarray(cm.map_right, dtype),
+        k_raw_l=k4(cfg.k_left),
+        k_raw_r=k4(cfg.k_right),
+        dist_l=d5(cfg.dist_left),
+        dist_r=d5(cfg.dist_right),
+        r1=jnp.asarray(cm.R1, dtype),
+        r2=jnp.asarray(cm.R2, dtype),
         p1=jnp.asarray(cm.P1, dtype),
         p2=jnp.asarray(cm.P2, dtype),
         k_rect=jnp.asarray(cm.P1[:, :3], dtype),
@@ -119,6 +155,11 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
         cur_capacity=cfg.max_matches,
         pool_capacity=cfg.pool_capacity,
         window=cfg.window_size,
+        pnp_solver={0: "dlt", 1: "epnp", 2: "epnp_min", 3: "epnp",
+                    4: "epnp", 5: "epnp_min"}[cfg.solve_pnp],
+        rectify_mode=cfg.rectify_mode,
+        full_ba_keyframes=cfg.full_ba_keyframes,
+        full_ba_iterations=cfg.full_ba_iterations,
         dtype=dtype,
     )
     return consts, static
@@ -144,17 +185,42 @@ def init_vio_state(static: VIOStatic) -> VIOState:
     )
 
 
+def extract_rectified(
+    img_l, img_r, consts: VIOConstants, static: VIOStatic
+) -> tuple[orb.OrbFeatures, orb.OrbFeatures]:
+    """ORB features of a stereo pair with RECTIFIED keypoint coordinates.
+
+    sparse mode (default): detect + describe on the raw frames, then
+    undistort/rectify only the K keypoint coords analytically — the dense
+    full-frame remap (the slowest single op on this chip) never runs.
+    dense mode: reference-faithful remap-then-extract.
+    """
+    if static.rectify_mode == "dense":
+        rect = remap.remap_bilinear(
+            jnp.stack([img_l, img_r]), jnp.stack([consts.map_l, consts.map_r])
+        )
+        return orb.extract_pair(rect[0], rect[1], static.orb)
+    feats_l, feats_r = orb.extract_pair(img_l, img_r, static.orb)
+    feats_l = feats_l._replace(
+        xy=remap.rectify_points(
+            feats_l.xy, consts.k_raw_l, consts.dist_l, consts.r1, consts.p1
+        )
+    )
+    feats_r = feats_r._replace(
+        xy=remap.rectify_points(
+            feats_r.xy, consts.k_raw_r, consts.dist_r, consts.r2, consts.p2
+        )
+    )
+    return feats_l, feats_r
+
+
 def front_end(img_l, img_r, pool, key, consts: VIOConstants, static: VIOStatic):
     """rectify -> ORB -> stereo match -> temporal track. Shared by the OK
     path and the bootstrap frame."""
-    # NOTE: batching L/R into one vmapped extract is the natural TPU form of
-    # the reference's two ORB threads, but the vmapped conv/gather graph
-    # reliably faults the axon-tunneled TPU worker in this environment, so
-    # the two extractions stay sequential (XLA still fuses aggressively).
-    rect_l = remap.remap_bilinear(img_l, consts.map_l)
-    rect_r = remap.remap_bilinear(img_r, consts.map_r)
-    feats_l = orb.extract(rect_l, static.orb)
-    feats_r = orb.extract(rect_r, static.orb)
+    # L/R + all pyramid levels extracted in ONE batched program (the
+    # TPU-native form of the reference's two ORB threads); keypoint coords
+    # come out rectified in both modes.
+    feats_l, feats_r = extract_rectified(img_l, img_r, consts, static)
     k1, k2 = jax.random.split(key)
     cur = tracker.internal_match(
         feats_l, feats_r, k1, static.cur_capacity,
@@ -164,6 +230,74 @@ def front_end(img_l, img_r, pool, key, consts: VIOConstants, static: VIOStatic):
         cur, pool, k2, static.match_ratio, static.min_match_dist
     )
     return cur, tr
+
+
+def _run_backend(
+    state: VIOState, tr_n_matches, consts: VIOConstants, static: VIOStatic
+):
+    """Motion-only BA + keyframe decision + optional keyframe full BA +
+    bias bookkeeping. Shared by `ok_step` and `stage_ba`.
+
+    Returns (state, ba_cost, ba_iters)."""
+    win = state.win
+    has_matches = tr_n_matches > 0
+    obs = LandmarkObs(state.pool.pos, state.pool.obs_px, state.pool.obs_mask)
+
+    # -- motion-only BA (skipped when no circular matches, `vis:48`)
+    def do_ba(win):
+        dpose, dvdbga, info = ba_mod.motion_only_ba(
+            win, obs, consts.calib, consts.gravity,
+            static.prior_factor, static.max_iterations,
+        )
+        win = win_mod.apply_deltas(
+            win, dpose, dvdbga, static.max_gyr_bias, static.max_acc_bias
+        )
+        win = win_mod.check_keyframe(
+            win, static.keyframe_rotation, static.keyframe_translation,
+            static.max_imu_time,
+        )
+        return win, info["final_cost"], info["iterations"]
+
+    def skip_ba(win):
+        return win, jnp.zeros((), static.dtype), jnp.zeros((), jnp.int32)
+
+    win, ba_cost, ba_iters = jax.lax.cond(has_matches, do_ba, skip_ba, win)
+    kf = win.is_keyframe & has_matches
+    pool = state.pool
+
+    # -- keyframe full BA: joint pose + landmark refinement (Schur), the
+    # upgrade the reference carries only commented out (`optimizer.cpp:
+    # 122-133`); keyframe decision stays with the motion-only deltas
+    if static.full_ba_keyframes:
+        from pose_estimation_tpu.backend import full_ba as full_ba_mod
+
+        def do_full(args):
+            win, pool = args
+            obs2 = LandmarkObs(pool.pos, pool.obs_px, pool.obs_mask)
+            dpose, dvdbga, dlm, _ = full_ba_mod.full_ba(
+                win, obs2, consts.calib, consts.gravity,
+                static.prior_factor, static.full_ba_iterations,
+            )
+            win = win_mod.apply_deltas(
+                win, dpose, dvdbga, static.max_gyr_bias, static.max_acc_bias
+            )
+            pool = pool._replace(pos=pool.pos + dlm)
+            return win, pool
+
+        win, pool = jax.lax.cond(
+            kf, do_full, lambda args: args, (win, pool)
+        )
+
+    state = state._replace(win=win, pool=pool)
+
+    # -- keyframe bookkeeping: bias update + preintegrator reset
+    # (`ImuPreintegrator::updateBias`, `imu-preintegrator.cpp:166-170`)
+    new_bg = jnp.where(kf, win.ics.bg_i[-1] + win.dbg[-1], state.bg)
+    new_ba = jnp.where(kf, win.ics.ba_i[-1] + win.dba[-1], state.ba)
+    preint = jax.lax.cond(
+        kf, lambda p: pre.init_state(static.dtype), lambda p: p, state.preint
+    )
+    return state._replace(preint=preint, bg=new_bg, ba=new_ba), ba_cost, ba_iters
 
 
 def pool_update(state: VIOState, cur, tr, consts, static) -> VIOState:
@@ -209,40 +343,10 @@ def ok_step(
     cur, tr = front_end(img_l, img_r, pool, key, consts, static)
     pool = pool_mod.record_observations(pool, tr.slot, tr.matched, cur.px_l)
 
-    # -- motion-only BA (skipped when no circular matches, `vis:48`)
-    has_matches = tr.n_matches > 0
-
-    def do_ba(win):
-        obs = LandmarkObs(pool.pos, pool.obs_px, pool.obs_mask)
-        dpose, dvdbga, info = ba_mod.motion_only_ba(
-            win, obs, consts.calib, consts.gravity,
-            static.prior_factor, static.max_iterations,
-        )
-        win = win_mod.apply_deltas(
-            win, dpose, dvdbga, static.max_gyr_bias, static.max_acc_bias
-        )
-        win = win_mod.check_keyframe(
-            win, static.keyframe_rotation, static.keyframe_translation,
-            static.max_imu_time,
-        )
-        return win, info["final_cost"], info["iterations"]
-
-    def skip_ba(win):
-        return win, jnp.zeros((), static.dtype), jnp.zeros((), jnp.int32)
-
-    win, ba_cost, ba_iters = jax.lax.cond(has_matches, do_ba, skip_ba, win)
-
     state = state._replace(win=win, pool=pool, preint=preint)
-
-    # -- keyframe bookkeeping: bias update + preintegrator reset
-    # (`ImuPreintegrator::updateBias`, `imu-preintegrator.cpp:166-170`)
-    kf = win.is_keyframe & has_matches
-    new_bg = jnp.where(kf, win.ics.bg_i[-1] + win.dbg[-1], state.bg)
-    new_ba = jnp.where(kf, win.ics.ba_i[-1] + win.dba[-1], state.ba)
-    preint = jax.lax.cond(
-        kf, lambda p: pre.init_state(static.dtype), lambda p: p, preint
-    )
-    state = state._replace(preint=preint, bg=new_bg, ba=new_ba)
+    state, ba_cost, ba_iters = _run_backend(state, tr.n_matches, consts, static)
+    win = state.win
+    kf = win.is_keyframe & (tr.n_matches > 0)
 
     # -- feature pool update on keyframe (or empty pool)
     do_pool = kf | ~jnp.any(state.pool.valid)
@@ -342,37 +446,7 @@ def stage_frontend(
 def stage_ba(
     state: VIOState, tr_n_matches, consts: VIOConstants, static: VIOStatic
 ):
-    win = state.win
-    has_matches = tr_n_matches > 0
-
-    def do_ba(win):
-        obs = LandmarkObs(state.pool.pos, state.pool.obs_px, state.pool.obs_mask)
-        dpose, dvdbga, info = ba_mod.motion_only_ba(
-            win, obs, consts.calib, consts.gravity,
-            static.prior_factor, static.max_iterations,
-        )
-        win = win_mod.apply_deltas(
-            win, dpose, dvdbga, static.max_gyr_bias, static.max_acc_bias
-        )
-        win = win_mod.check_keyframe(
-            win, static.keyframe_rotation, static.keyframe_translation,
-            static.max_imu_time,
-        )
-        return win, info["final_cost"], info["iterations"]
-
-    def skip_ba(win):
-        return win, jnp.zeros((), static.dtype), jnp.zeros((), jnp.int32)
-
-    win, ba_cost, ba_iters = jax.lax.cond(has_matches, do_ba, skip_ba, win)
-    state = state._replace(win=win)
-
-    kf = win.is_keyframe & has_matches
-    new_bg = jnp.where(kf, win.ics.bg_i[-1] + win.dbg[-1], state.bg)
-    new_ba = jnp.where(kf, win.ics.ba_i[-1] + win.dba[-1], state.ba)
-    preint = jax.lax.cond(
-        kf, lambda p: pre.init_state(static.dtype), lambda p: p, state.preint
-    )
-    return state._replace(preint=preint, bg=new_bg, ba=new_ba), ba_cost, ba_iters
+    return _run_backend(state, tr_n_matches, consts, static)
 
 
 def stage_pool(
@@ -405,10 +479,7 @@ def sfm_step(
     from pose_estimation_tpu.ops import pnp as pnp_mod
     from pose_estimation_tpu.ops import triangulate as tri_mod
 
-    rect_l = remap.remap_bilinear(img_l, consts.map_l)
-    rect_r = remap.remap_bilinear(img_r, consts.map_r)
-    feats_l = orb.extract(rect_l, static.orb)
-    feats_r = orb.extract(rect_r, static.orb)
+    feats_l, feats_r = extract_rectified(img_l, img_r, consts, static)
     k1, k2 = jax.random.split(key)
     cur = tracker.internal_match(
         feats_l, feats_r, k1, static.cur_capacity,
@@ -427,6 +498,7 @@ def sfm_step(
     img_pts = ref_xy[m.index]
     res = pnp_mod.pnp_ransac(
         pts_cam, img_pts, m.valid, consts.k_rect, k2,
+        solver=static.pnp_solver,
     )
     return res.rvec, res.tvec, res.n_inliers, feats_l
 

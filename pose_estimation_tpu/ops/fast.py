@@ -35,28 +35,39 @@ CIRCLE = (
 def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """Cyclic shift (cheap on TPU; the wrapped 3px edge ring lies outside the
     FAST detection border and is masked by `select_keypoints`)."""
-    return jnp.roll(img, (-dy, -dx), axis=(0, 1))
+    return jnp.roll(img, (-dy, -dx), axis=(-2, -1))
 
 
 def fast_score(img: jnp.ndarray) -> jnp.ndarray:
-    """Per-pixel FAST-9/16 corner score. img [H,W] float -> [H,W] float.
+    """Per-pixel FAST-9/16 corner score. img [...,H,W] float -> [...,H,W]
+    float (leading batch dims supported; one fused program for all planes).
 
     score = max(arc_min over bright 9-arcs, arc_min over dark 9-arcs), i.e.
     the pixel is a FAST corner at threshold t iff score > t.
-    """
-    diffs = jnp.stack([_shift2d(img, dy, dx) for dy, dx in CIRCLE]) - img[None]
 
-    def arc_min9(d):
-        # m9[i] = min(d[i..i+8 mod 16]) via a min tree: 3 = 1+roll1+roll2,
-        # 9 = 3 + roll3(3) + roll6(3)
-        m3 = jnp.minimum(jnp.minimum(d, jnp.roll(d, -1, 0)), jnp.roll(d, -2, 0))
-        m9 = jnp.minimum(
-            jnp.minimum(m3, jnp.roll(m3, -3, 0)), jnp.roll(m3, -6, 0)
-        )
-        return jnp.max(m9, axis=0)
+    The min tree is built over a python LIST of shifted images (16 separate
+    elementwise chains XLA fuses into one loop), NOT a stacked tensor with
+    rolls along the circle axis — the stacked form materializes a
+    [..., 16, H, W] (and under vmap [B, 16, 16, H, W]) intermediate, which
+    OOMs HBM at batch scale."""
+    diffs = [_shift2d(img, dy, dx) - img for dy, dx in CIRCLE]
 
-    bright = arc_min9(diffs)      # > t  => bright corner
-    dark = arc_min9(-diffs)       # > t  => dark corner
+    def arc_min9(ds):
+        m3 = [
+            jnp.minimum(jnp.minimum(ds[i], ds[(i + 1) % 16]), ds[(i + 2) % 16])
+            for i in range(16)
+        ]
+        m9 = [
+            jnp.minimum(jnp.minimum(m3[i], m3[(i + 3) % 16]), m3[(i + 6) % 16])
+            for i in range(16)
+        ]
+        out = m9[0]
+        for i in range(1, 16):
+            out = jnp.maximum(out, m9[i])
+        return out
+
+    bright = arc_min9(diffs)                 # > t  => bright corner
+    dark = arc_min9([-d for d in diffs])     # > t  => dark corner
     return jnp.maximum(bright, dark)
 
 
@@ -178,3 +189,119 @@ def _topk(x: jnp.ndarray, k: int):
     import jax
 
     return jax.lax.top_k(x, k)
+
+
+def _topk_iter(x: jnp.ndarray, k: int):
+    """top-k along the last axis via k iterative (max, mask) passes.
+
+    Functionally = lax.top_k for small k. On this chip lax.top_k lowers to a
+    full sort (~4.6 ms on the [N, C, 256] cell tensor); k passes of
+    max+compare are pure VPU elementwise work (~10x cheaper for k=4).
+    Ties break toward the LOWER index, like lax.top_k."""
+    import jax
+
+    n = x.shape[-1]
+    iota = jax.lax.iota(jnp.int32, n)
+    for _ in range(x.ndim - 1):
+        iota = iota[None]
+    comb = x
+    idxs = []
+    for _ in range(k):
+        idx = jnp.argmax(comb, axis=-1)                  # first max wins
+        idxs.append(idx)
+        comb = jnp.where(iota == idx[..., None], -jnp.inf, comb)
+    idxs = jnp.stack(idxs, axis=-1).astype(jnp.int32)
+    vals = jnp.take_along_axis(x, idxs, axis=-1)         # exact values
+    return vals, idxs
+
+
+def select_keypoints_batched(
+    score: jnp.ndarray,
+    bounds: list[tuple[int, int]],
+    th_hi: float,
+    th_lo: float,
+    k_max: int,
+    cell: int = 16,
+    border: int = 19,
+    k_per_cell: int = 4,
+    pre_nms: bool = False,
+    raw_score: jnp.ndarray | None = None,
+) -> Keypoints:
+    """Batched `select_keypoints` over N image planes in one program.
+
+    score: [N, H, W] corner scores (planes may be pyramid levels padded into
+    a common canvas); bounds: static per-plane (lh, lw) content sizes — the
+    detection margin is applied within each plane's content, exactly like the
+    per-level path. Returns Keypoints with [N, k_max] fields.
+
+    This is the op-count-collapsed form of the per-level selection: on the
+    dispatch-latency-bound single chip, 16 per-level selections cost ~16x
+    this one (see BASELINE.md / NOTES on per-op latency).
+    """
+    import numpy as np
+
+    n, h, w = score.shape
+    neg = jnp.float32(-1e9)
+    assert len(bounds) == n
+
+    keep = (score > 0.0) if pre_nms else nms3(score)
+    lh = jnp.asarray(np.array([b[0] for b in bounds]), jnp.int32)[:, None, None]
+    lw = jnp.asarray(np.array([b[1] for b in bounds]), jnp.int32)[:, None, None]
+    ys = jnp.arange(h)[None, :, None]
+    xs = jnp.arange(w)[None, None, :]
+    inb = (ys >= border) & (ys < lh - border) & (xs >= border) & (xs < lw - border)
+
+    s = jnp.where(keep & inb, score, neg)
+
+    hp = -(-h // cell) * cell
+    wp = -(-w // cell) * cell
+    s = jnp.pad(s, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=neg)
+    ncy, ncx = hp // cell, wp // cell
+    cells = s.reshape(n, ncy, cell, ncx, cell).transpose(0, 1, 3, 2, 4).reshape(
+        n, ncy * ncx, cell * cell
+    )
+
+    cell_max = jnp.max(cells, axis=2, keepdims=True)
+    has_strong = cell_max > th_hi
+    eligible = jnp.where(has_strong, cells > th_hi, cells > th_lo)
+    cand = jnp.where(eligible, cells, neg)
+
+    top_s, top_i = _topk_iter(cand, k_per_cell)           # [n, C, k]
+    cy = jnp.arange(ncy * ncx) // ncx
+    cx = jnp.arange(ncy * ncx) % ncx
+    py = cy[None, :, None] * cell + top_i // cell
+    px = cx[None, :, None] * cell + top_i % cell
+
+    flat_s = top_s.reshape(n, -1)
+    flat_x = px.reshape(n, -1)
+    flat_y = py.reshape(n, -1)
+
+    k_max = min(k_max, flat_s.shape[1])
+    g_s, g_i = _topk(flat_s, k_max)                        # [n, k_max]
+    gx = jnp.take_along_axis(flat_x, g_i, axis=1)
+    gy = jnp.take_along_axis(flat_y, g_i, axis=1)
+
+    sub_src = (score if raw_score is None else raw_score).reshape(n, h * w)
+
+    def sc(yy, xx):
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        return jnp.take_along_axis(sub_src, yy * w + xx, axis=1)
+
+    s0 = sc(gy, gx)
+    sl = sc(gy, gx - 1)
+    sr = sc(gy, gx + 1)
+    su = sc(gy - 1, gx)
+    sd = sc(gy + 1, gx)
+
+    def para(sm, s0, sp):
+        den = sm - 2.0 * s0 + sp
+        off = jnp.where(jnp.abs(den) > 1e-6, 0.5 * (sm - sp) / den, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx = para(sl, s0, sr)
+    dy = para(su, s0, sd)
+    xy = jnp.stack(
+        [gx.astype(jnp.float32) + dx, gy.astype(jnp.float32) + dy], axis=-1
+    )
+    return Keypoints(xy=xy, score=g_s, valid=g_s > neg / 2)

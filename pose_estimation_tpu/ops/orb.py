@@ -111,7 +111,9 @@ def ic_angle_from_moments(moments: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 
 
 def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
-    """Separable 7x7 Gaussian with reflect-101 borders (cv::GaussianBlur)."""
+    """Separable 7x7 Gaussian with reflect-101 borders (cv::GaussianBlur).
+
+    Operates on the last two axes; leading batch dims pass through."""
     k = np.exp(-np.arange(-3, 4) ** 2 / (2 * sigma * sigma))
     k = (k / k.sum()).astype(np.float32)
     kern = jnp.asarray(k, img.dtype)
@@ -122,7 +124,7 @@ def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
         out = sum(pad[..., i : i + x.shape[-1]] * kern[i] for i in range(7))
         return jnp.moveaxis(out, -1, axis)
 
-    return conv1d(conv1d(img, 0), 1)
+    return conv1d(conv1d(img, -2), -1)
 
 
 def brief_descriptors(
@@ -183,48 +185,177 @@ def level_budgets(cfg: OrbConfig) -> list[int]:
     return budgets
 
 
+def ic_angle_planes(
+    stack_flat: jnp.ndarray, base: jnp.ndarray, xy: jnp.ndarray,
+    h: int, w: int,
+) -> jnp.ndarray:
+    """Plane-indexed intensity-centroid orientation.
+
+    stack_flat [N*H*W] flattened plane stack, base [K] per-keypoint flat
+    offset (plane_id * H * W), xy [K, 2] plane-local coords -> [K] radians.
+    Keypoint-sparse: one gather + one moment matmul, no whole-image moment
+    maps and no per-plane padding waste."""
+    cx = jnp.round(xy[..., 0]).astype(jnp.int32)                 # [K]
+    cy = jnp.round(xy[..., 1]).astype(jnp.int32)
+    d = jnp.arange(-PATCH_R, PATCH_R + 1)
+    yy = jnp.clip(cy[:, None] + d, 0, h - 1)                     # [K,P]
+    xx = jnp.clip(cx[:, None] + d, 0, w - 1)
+    idx = base[:, None, None] + yy[:, :, None] * w + xx[:, None, :]
+    patches = jnp.take(stack_flat, idx.reshape(xy.shape[0], -1), axis=0)
+    mx, my = _moment_masks(patches.dtype)
+    mom = patches @ jnp.stack([mx, my], axis=1)                  # [K,2]
+    return jnp.arctan2(mom[..., 1], mom[..., 0])
+
+
+def brief_descriptors_planes(
+    blur_flat: jnp.ndarray, base: jnp.ndarray, xy: jnp.ndarray,
+    angle: jnp.ndarray, h: int, w: int,
+) -> jnp.ndarray:
+    """Plane-indexed rotated binary tests -> {-1,+1} int8 [K, 256].
+
+    The two test points are processed as SEPARATE [K, 256] tensors end to
+    end: any [K, 256, 2] intermediate puts 2 in the lane dimension, which
+    TPU (8,128) tiling pads to 128 — a 64x HBM blowup that OOMs at batch
+    scale (and costs layout conversions even at batch 1)."""
+    ca, sa = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]    # [K,1]
+    cx = jnp.round(xy[:, 0]).astype(jnp.int32)[:, None]
+    cy = jnp.round(xy[:, 1]).astype(jnp.int32)[:, None]
+
+    def sample(point):
+        px = jnp.asarray(PATTERN[None, :, point, 0], jnp.float32)  # [1,256]
+        py = jnp.asarray(PATTERN[None, :, point, 1], jnp.float32)
+        col = jnp.round(px * ca - py * sa).astype(jnp.int32)
+        row = jnp.round(px * sa + py * ca).astype(jnp.int32)
+        xx = jnp.clip(cx + col, 0, w - 1)                        # [K,256]
+        yy = jnp.clip(cy + row, 0, h - 1)
+        return jnp.take(blur_flat, base[:, None] + yy * w + xx, axis=0)
+
+    return matching.pack_descriptors(sample(0) < sample(1))
+
+
+def pyramid_shapes(h: int, w: int, cfg: OrbConfig) -> list[tuple[int, int]]:
+    """Static per-level content sizes (level 0 = full resolution)."""
+    shapes = [(h, w)]
+    for lvl in range(1, cfg.n_levels):
+        lh = max(int(round(h / cfg.scale**lvl)), 2 * EDGE + 8)
+        lw = max(int(round(w / cfg.scale**lvl)), 2 * EDGE + 8)
+        shapes.append((lh, lw))
+    return shapes
+
+
+def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
+    """Full ORB front-end for a batch of grayscale images [B, H, W].
+
+    TPU-first reformulation of the reference's per-level loop
+    (`ORBextractor.cc:1043-1105`): ALL pyramid levels of ALL images are
+    padded into one [B * n_levels, H, W] plane stack and every stage (FAST
+    score, NMS, per-cell selection, orientation, blur, BRIEF) runs ONCE as a
+    batched program. On the dispatch-latency-bound chip this collapses
+    ~16 x 8 per-level stage subgraphs into ~1 x 8 (see BASELINE.md); the
+    padding waste (levels 1+ occupy a corner of the full canvas) is marginal
+    compute, which is ~free next to dispatch.
+
+    Per-level semantics are preserved exactly: zero padding beyond each
+    level's content only touches pixels outside the 19px detection margin
+    (FAST ring 3, NMS 1, IC-angle patch 15 < 19; BRIEF samples may read the
+    3px blur-contaminated band at the level edge — same few-bit effect as
+    the per-level reflect-101 border, different values).
+
+    Returns OrbFeatures with leading batch dim: fields [B, K_total, ...]
+    where K_total = sum of per-level budgets, levels in ascending order,
+    each level block sorted by score descending.
+    """
+    b, h, w = imgs.shape
+    budgets = level_budgets(cfg)
+    shapes = pyramid_shapes(h, w, cfg)
+    nl = cfg.n_levels
+
+    planes = []
+    for lvl in range(nl):
+        lh, lw = shapes[lvl]
+        lv = imgs if lvl == 0 else jax.image.resize(
+            imgs, (b, lh, lw), method="linear"
+        )
+        planes.append(jnp.pad(lv, ((0, 0), (0, h - lh), (0, w - lw))))
+    stack = jnp.concatenate(planes, axis=0)       # [nl*b, H, W]; plane=lvl*b+i
+    bounds = [shapes[p // b] for p in range(nl * b)]
+
+    if cfg.fast_backend == "pallas":
+        from pose_estimation_tpu.ops.pallas_fast import fast_score_nms_pallas
+
+        score_raw, score_masked = fast_score_nms_pallas(stack)
+        kps = fast_mod.select_keypoints_batched(
+            score_masked, bounds, cfg.th_hi, cfg.th_lo, budgets[0],
+            cell=cfg.cell, border=EDGE, k_per_cell=cfg.k_per_cell,
+            pre_nms=True, raw_score=score_raw,
+        )
+    else:
+        score = fast_mod.fast_score(stack)
+        kps = fast_mod.select_keypoints_batched(
+            score, bounds, cfg.th_hi, cfg.th_lo, budgets[0],
+            cell=cfg.cell, border=EDGE, k_per_cell=cfg.k_per_cell,
+        )
+
+    # slice each plane to its level budget FIRST (top_k is score-sorted, so
+    # the leading kb entries per plane are that level's selection), then run
+    # orientation + BRIEF only on the kept keypoints via plane-indexed
+    # gathers — no work on the 2.2x overcapacity the uniform Kmax implies
+    xy_l, score_l, valid_l, level_l, base_l, scale_l = [], [], [], [], [], []
+    for lvl in range(nl):
+        sl = slice(lvl * b, (lvl + 1) * b)
+        kb = budgets[lvl]
+        xy_l.append(kps.xy[sl, :kb])                       # [b, kb, 2]
+        score_l.append(kps.score[sl, :kb])
+        valid_l.append(kps.valid[sl, :kb])
+        level_l.append(jnp.full((b, kb), lvl, jnp.int32))
+        plane = lvl * b + jnp.arange(b)
+        base_l.append(
+            jnp.broadcast_to(plane[:, None] * (h * w), (b, kb))
+        )
+        scale_l.append(jnp.full((b, kb), cfg.scale**lvl, jnp.float32))
+    xy = jnp.concatenate(xy_l, axis=1)                     # [b, K_tot, 2]
+    score_all = jnp.concatenate(score_l, axis=1)
+    valid_all = jnp.concatenate(valid_l, axis=1)
+    level_all = jnp.concatenate(level_l, axis=1)
+    base_all = jnp.concatenate(base_l, axis=1)
+    scale_all = jnp.concatenate(scale_l, axis=1)
+    k_tot = xy.shape[1]
+
+    stack_flat = stack.reshape(-1)
+    xy_flat = xy.reshape(b * k_tot, 2)
+    base_flat = base_all.reshape(b * k_tot)
+    ang = ic_angle_planes(stack_flat, base_flat, xy_flat, h, w)
+    blur = gaussian_blur7(stack)
+    desc = brief_descriptors_planes(
+        blur.reshape(-1), base_flat, xy_flat, ang, h, w
+    )
+    return OrbFeatures(
+        xy=xy * scale_all[..., None],
+        angle=ang.reshape(b, k_tot),
+        score=score_all,
+        level=level_all,
+        desc=desc.reshape(b, k_tot, N_PAIRS),
+        valid=valid_all,
+    )
+
+
 def extract(img: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     """Full ORB front-end for one grayscale image [H, W] float32.
 
     Returns fixed-capacity features (capacity = sum of level budgets).
+    Thin wrapper over `extract_batch` (one batched program for all levels).
     """
-    h, w = img.shape
-    budgets = level_budgets(cfg)
+    feats = extract_batch(img[None], cfg)
+    return jax.tree.map(lambda a: a[0], feats)
 
-    feats = []
-    level_img = img
-    for lvl in range(cfg.n_levels):
-        if lvl > 0:
-            lh = max(int(round(h / cfg.scale**lvl)), 2 * EDGE + 8)
-            lw = max(int(round(w / cfg.scale**lvl)), 2 * EDGE + 8)
-            level_img = jax.image.resize(img, (lh, lw), method="linear")
-        if cfg.fast_backend == "pallas":
-            from pose_estimation_tpu.ops.pallas_fast import fast_score_nms_pallas
 
-            score_raw, score_masked = fast_score_nms_pallas(level_img)
-            kps = fast_mod.select_keypoints(
-                score_masked, cfg.th_hi, cfg.th_lo, budgets[lvl],
-                cell=cfg.cell, border=EDGE, k_per_cell=cfg.k_per_cell,
-                pre_nms=True, raw_score=score_raw,
-            )
-        else:
-            score = fast_mod.fast_score(level_img)
-            kps = fast_mod.select_keypoints(
-                score, cfg.th_hi, cfg.th_lo, budgets[lvl],
-                cell=cfg.cell, border=EDGE, k_per_cell=cfg.k_per_cell,
-            )
-        ang = ic_angle_from_moments(moment_maps(level_img), kps.xy)
-        blur = gaussian_blur7(level_img)
-        desc = brief_descriptors(blur, kps.xy, ang)
-        scale_back = jnp.float32(cfg.scale**lvl)
-        feats.append(
-            OrbFeatures(
-                xy=kps.xy * scale_back,
-                angle=ang,
-                score=kps.score,
-                level=jnp.full((kps.xy.shape[0],), lvl, jnp.int32),
-                desc=desc,
-                valid=kps.valid,
-            )
-        )
-    return OrbFeatures(*(jnp.concatenate(parts) for parts in zip(*feats)))
+def extract_pair(
+    img_a: jnp.ndarray, img_b: jnp.ndarray, cfg: OrbConfig
+) -> tuple[OrbFeatures, OrbFeatures]:
+    """Extract features of a stereo pair in ONE batched program — the
+    TPU-native form of the reference's two ORB threads
+    (`feature-tracker.cpp:147-157`)."""
+    feats = extract_batch(jnp.stack([img_a, img_b]), cfg)
+    fa = jax.tree.map(lambda a: a[0], feats)
+    fb = jax.tree.map(lambda a: a[1], feats)
+    return fa, fb

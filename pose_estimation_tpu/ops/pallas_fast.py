@@ -29,14 +29,16 @@ from pose_estimation_tpu.ops.fast import CIRCLE
 HALO = 4  # 3 for the FAST ring + 1 for the NMS neighborhood
 
 
-def _kernel(img_ref, raw_ref, out_ref, *, band: int, width: int):
-    """img_ref: the full padded image (VMEM); out_ref: [band, W] block.
+def _kernel(img_ref, raw_ref, out_ref, *, band: int, width: int, n_bands: int):
+    """img_ref: one full padded image plane (VMEM); out_ref: [band, W] block.
 
-    Row windows overlap (halo), so the input is passed whole and each
+    Row windows overlap (halo), so the plane is passed whole and each
     program slices its band + halo; only per-band intermediates live in
-    registers/VMEM."""
-    i = pl.program_id(0)
-    tile = img_ref[pl.ds(i * band, band + 2 * HALO), :]  # [band+8, W]
+    registers/VMEM. The flat grid walks planes x row-bands (a size-1 leading
+    grid axis is collapsed by pallas, so the 2-D grid is linearized and the
+    band index recovered by modulo)."""
+    i = pl.program_id(0) % n_bands
+    tile = img_ref[0, pl.ds(i * band, band + 2 * HALO), :]  # [band+8, W]
 
     # score rows cover the output band plus one NMS margin row on each side:
     # local score row r <-> padded-image row i*band + (HALO-1) + r.
@@ -84,32 +86,46 @@ def _kernel(img_ref, raw_ref, out_ref, *, band: int, width: int):
             nb = nshift(score, dy, dx)
             keep = keep & ((c > nb) if strictly_before else (c >= nb))
 
-    raw_ref[:] = c
-    out_ref[:] = jnp.where(keep, c, 0.0)
+    raw_ref[0, :, :] = c
+    out_ref[0, :, :] = jnp.where(keep, c, 0.0)
 
 
 def fast_score_nms_pallas(
     img: jnp.ndarray, band: int = 8, interpret: bool = False
 ):
-    """(raw_score, nms_masked) FAST score maps, each [H, W] float32. The
-    masked map is zero where suppressed or not a corner; the raw map feeds
-    subpixel refinement."""
-    h, w = img.shape
-    hp = -(-h // band) * band
-    img_p = jnp.pad(img, ((HALO, hp - h + HALO), (0, 0)), mode="edge")
+    """(raw_score, nms_masked) FAST score maps, matching the input shape.
 
+    Accepts [H, W] or a plane stack [N, H, W] (pyramid levels x images in
+    one kernel launch; grid = planes x row-bands). The masked map is zero
+    where suppressed or not a corner; the raw map feeds subpixel
+    refinement."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    n, h, w = img.shape
+    hp = -(-h // band) * band
+    img_p = jnp.pad(img, ((0, 0), (HALO, hp - h + HALO), (0, 0)), mode="edge")
+
+    n_bands = hp // band
     raw, out = pl.pallas_call(
-        functools.partial(_kernel, band=band, width=w),
+        functools.partial(_kernel, band=band, width=w, n_bands=n_bands),
         out_shape=(
-            jax.ShapeDtypeStruct((hp, w), img.dtype),
-            jax.ShapeDtypeStruct((hp, w), img.dtype),
+            jax.ShapeDtypeStruct((n, hp, w), img.dtype),
+            jax.ShapeDtypeStruct((n, hp, w), img.dtype),
         ),
-        grid=(hp // band,),
-        in_specs=[pl.BlockSpec(img_p.shape, lambda i: (0, 0))],
+        grid=(n * n_bands,),
+        in_specs=[
+            pl.BlockSpec(
+                (1,) + img_p.shape[1:], lambda g: (g // n_bands, 0, 0)
+            )
+        ],
         out_specs=(
-            pl.BlockSpec((band, w), lambda i: (i, 0)),
-            pl.BlockSpec((band, w), lambda i: (i, 0)),
+            pl.BlockSpec((1, band, w), lambda g: (g // n_bands, g % n_bands, 0)),
+            pl.BlockSpec((1, band, w), lambda g: (g // n_bands, g % n_bands, 0)),
         ),
         interpret=interpret,
     )(img_p)
-    return raw[:h], out[:h]
+    raw, out = raw[:, :h], out[:, :h]
+    if squeeze:
+        raw, out = raw[0], out[0]
+    return raw, out

@@ -71,6 +71,160 @@ def _dlt_pose(obj: jnp.ndarray, img_n: jnp.ndarray):
     return r, t
 
 
+def _procrustes(src: jnp.ndarray, dst: jnp.ndarray):
+    """Batched rigid alignment dst ~= R src + t (Horn/Kabsch).
+    src, dst [B, M, 3] -> R [B,3,3], t [B,3]."""
+    mu_s = jnp.mean(src, axis=1, keepdims=True)
+    mu_d = jnp.mean(dst, axis=1, keepdims=True)
+    h = jnp.einsum("bmi,bmj->bij", dst - mu_d, src - mu_s)
+    uu, _, vt = jnp.linalg.svd(h)
+    det = jnp.linalg.det(jnp.einsum("bij,bjk->bik", uu, vt))
+    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    r = jnp.einsum("bij,bj,bjk->bik", uu, d, vt)
+    t = mu_d[:, 0] - jnp.einsum("bij,bj->bi", r, mu_s[:, 0])
+    return r, t
+
+
+def _epnp_pose(obj: jnp.ndarray, img_n: jnp.ndarray):
+    """Batched EPnP (Lepetit et al.) pose hypothesis from M >= 4 points.
+
+    The TPU-native analog of cv::SOLVEPNP_EPNP (`feature-tracker.cpp:518`):
+    4 control points (centroid + principal axes), barycentric expansion,
+    nullspace of the 2Mx12 projection system via symmetric eigh (MXU/VPU
+    friendly — no nonsymmetric eig on TPU), case N=1 beta with scale/sign
+    from control-point distances + cheirality, closed-form Procrustes for
+    (R, t). obj [B, M, 3], img_n [B, M, 2] -> R [B,3,3], t [B,3]."""
+    b, m, _ = obj.shape
+    dtype = obj.dtype
+    c0 = jnp.mean(obj, axis=1, keepdims=True)                     # [B,1,3]
+    centered = obj - c0
+    cov = jnp.einsum("bmi,bmj->bij", centered, centered) / m
+    _, axes = jnp.linalg.eigh(cov)                                # [B,3,3]
+    # control points: c0 + eigenaxes (unit length is fine — barycentric
+    # coords absorb scale); guard degenerate (near-planar) samples with a
+    # small ridge so the basis inverse stays finite
+    cw = jnp.concatenate([c0, c0 + jnp.swapaxes(axes, -1, -2)], axis=1)  # [B,4,3]
+    basis = jnp.swapaxes(axes, -1, -2)                            # rows = axes
+    basis_inv = jnp.linalg.inv(
+        basis + 1e-9 * jnp.eye(3, dtype=dtype)
+    )
+    a123 = jnp.einsum("bij,bmj->bmi", jnp.swapaxes(basis_inv, -1, -2), centered)
+    alpha = jnp.concatenate(
+        [1.0 - jnp.sum(a123, axis=-1, keepdims=True), a123], axis=-1
+    )                                                             # [B,M,4]
+
+    u = img_n[..., 0]
+    v = img_n[..., 1]
+    # rows: sum_j alpha_j * (xc_j) - u * sum_j alpha_j * zc_j = 0 (normalized
+    # f=1, c=0 coords); unknowns = 4 control points in camera frame [12]
+    zeros = jnp.zeros((b, m, 4), dtype)
+    row_u = jnp.stack([alpha, zeros, -u[..., None] * alpha], axis=-1)  # [B,M,4,3]
+    row_v = jnp.stack([zeros, alpha, -v[..., None] * alpha], axis=-1)
+    # unknown layout: [ctrl0(x,y,z), ctrl1(x,y,z), ...] (index = 3j + coord)
+    mm = jnp.concatenate(
+        [row_u.reshape(b, m, 12), row_v.reshape(b, m, 12)], axis=1
+    )                                                             # [B,2M,12]
+    mtm = jnp.einsum("bri,brj->bij", mm, mm)
+    _, vecs = jnp.linalg.eigh(mtm)
+    # the 3 smallest eigenvectors span the solution for minimal samples
+    # (for M=4 the 8x12 system has a >1-dim nullspace: the N=1 case alone is
+    # NOT sufficient — this is why P3P exists; cases N=1/2/3 are all tried
+    # and the best by sample reprojection wins, like the standard EPnP)
+    v1 = vecs[..., 0].reshape(b, 4, 3)
+    v2 = vecs[..., 1].reshape(b, 4, 3)
+    v3 = vecs[..., 2].reshape(b, 4, 3)
+
+    pidx = jnp.asarray(
+        [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    )  # 6 control-point pairs
+
+    def pair_diffs(p):                                            # [B,6,3]
+        return p[:, pidx[:, 0]] - p[:, pidx[:, 1]]
+
+    dw2 = jnp.sum(pair_diffs(cw) ** 2, axis=-1)                   # [B,6]
+    d1 = pair_diffs(v1)
+    d2 = pair_diffs(v2)
+    d3 = pair_diffs(v3)
+
+    def finish(cc):
+        """Scale by distance ratio + cheirality flip + Procrustes."""
+        dc2 = jnp.sum(pair_diffs(cc) ** 2, axis=-1)
+        dc = jnp.sqrt(dc2 + 1e-18)
+        dwr = jnp.sqrt(dw2 + 1e-18)
+        beta = jnp.sum(dc * dwr, axis=1) / jnp.maximum(
+            jnp.sum(dc * dc, axis=1), 1e-18
+        )
+        cc = cc * beta[:, None, None]
+        pts_cam = jnp.einsum("bmj,bji->bmi", alpha, cc)
+        flip = jnp.mean(pts_cam[..., 2], axis=1) < 0
+        cc = jnp.where(flip[:, None, None], -cc, cc)
+        return _procrustes(cw, cc)
+
+    def lstsq(a, y):
+        ata = jnp.einsum("bki,bkj->bij", a, a)
+        aty = jnp.einsum("bki,bk->bi", a, y)
+        ata = ata + 1e-12 * jnp.eye(a.shape[-1], dtype=dtype)
+        return jnp.linalg.solve(ata, aty[..., None])[..., 0]
+
+    # case N=1: cc ~ v1
+    cand = [finish(v1)]
+
+    # case N=2: solve [b11, b12, b22] from the 6 distance constraints
+    l2 = jnp.stack(
+        [
+            jnp.sum(d1 * d1, axis=-1),
+            2.0 * jnp.sum(d1 * d2, axis=-1),
+            jnp.sum(d2 * d2, axis=-1),
+        ],
+        axis=-1,
+    )                                                             # [B,6,3]
+    bb = lstsq(l2, dw2)
+    b1 = jnp.sqrt(jnp.abs(bb[:, 0]) + 1e-18)
+    b2 = jnp.sign(bb[:, 1]) * jnp.sqrt(jnp.abs(bb[:, 2]) + 1e-18)
+    cand.append(finish(b1[:, None, None] * v1 + b2[:, None, None] * v2))
+
+    # case N=3: 6 unknowns from 6 constraints
+    l3 = jnp.stack(
+        [
+            jnp.sum(d1 * d1, axis=-1),
+            2.0 * jnp.sum(d1 * d2, axis=-1),
+            2.0 * jnp.sum(d1 * d3, axis=-1),
+            jnp.sum(d2 * d2, axis=-1),
+            2.0 * jnp.sum(d2 * d3, axis=-1),
+            jnp.sum(d3 * d3, axis=-1),
+        ],
+        axis=-1,
+    )                                                             # [B,6,6]
+    b6 = lstsq(l3, dw2)
+    c1 = jnp.sqrt(jnp.abs(b6[:, 0]) + 1e-18)
+    safe_c1 = jnp.where(c1 < 1e-9, 1e-9, c1)
+    c2 = b6[:, 1] / safe_c1
+    c3 = b6[:, 2] / safe_c1
+    cand.append(
+        finish(
+            c1[:, None, None] * v1
+            + c2[:, None, None] * v2
+            + c3[:, None, None] * v3
+        )
+    )
+
+    # pick the case with the lowest reprojection error on the SAMPLE points
+    best_r, best_t = cand[0]
+    best_err = jnp.full((b,), jnp.inf, dtype)
+    for r_c, t_c in cand:
+        xc = jnp.einsum("bij,bmj->bmi", r_c, obj) + t_c[:, None, :]
+        z = jnp.where(xc[..., 2] < 1e-6, 1e-6, xc[..., 2])
+        proj = xc[..., :2] / z[..., None]
+        err = jnp.sum((proj - img_n) ** 2, axis=(1, 2)) + jnp.where(
+            jnp.any(xc[..., 2] <= 0, axis=1), 1e12, 0.0
+        )
+        take = err < best_err
+        best_err = jnp.where(take, err, best_err)
+        best_r = jnp.where(take[:, None, None], r_c, best_r)
+        best_t = jnp.where(take[:, None], t_c, best_t)
+    return best_r, best_t
+
+
 def _reproj_err2(r, t, obj, img_n):
     """Squared reprojection error in normalized coords.
     r [B,3,3], t [B,3], obj [N,3], img_n [N,2] -> [B,N]."""
@@ -121,6 +275,9 @@ def gauss_newton_pose(
     return rvec, t
 
 
+SOLVER_SAMPLE_SIZE = {"dlt": 6, "epnp": 6, "epnp_min": 5}
+
+
 def pnp_ransac(
     obj: jnp.ndarray,     # [N, 3] object points
     px: jnp.ndarray,      # [N, 2] pixels
@@ -130,7 +287,15 @@ def pnp_ransac(
     n_hypotheses: int = 512,
     threshold_px: float = 8.0,
     gn_iters: int = 10,
+    solver: str = "dlt",
 ) -> PnPResult:
+    """`solver` mirrors the reference's `solvePnP` config switch
+    (`feature-tracker.cpp:513-531`): "dlt" ~ SOLVEPNP_ITERATIVE (6-point DLT
+    hypotheses + GN polish), "epnp" ~ SOLVEPNP_EPNP (6-point EPnP
+    hypotheses), "epnp_min" ~ the P3P/AP3P family (reduced 5-point samples;
+    a closed-form quartic P3P is numerically hostile to batched f32, and
+    4-point EPnP needs the relinearized N=4 case — 5-point EPnP keeps the
+    minimal-sample spirit with robust batched math)."""
     n = obj.shape[0]
     dtype = obj.dtype
     fx, fy = k_mat[0, 0], k_mat[1, 1]
@@ -141,8 +306,12 @@ def pnp_ransac(
 
     probs = mask.astype(dtype)
     probs = probs / jnp.maximum(jnp.sum(probs), 1e-9)
-    idx = jax.random.choice(key, n, shape=(n_hypotheses, 6), p=probs)
-    r_h, t_h = _dlt_pose(obj[idx], img_n[idx])
+    sample = SOLVER_SAMPLE_SIZE[solver]
+    idx = jax.random.choice(key, n, shape=(n_hypotheses, sample), p=probs)
+    if solver == "dlt":
+        r_h, t_h = _dlt_pose(obj[idx], img_n[idx])
+    else:
+        r_h, t_h = _epnp_pose(obj[idx], img_n[idx])
 
     err2 = _reproj_err2(r_h, t_h, obj, img_n)        # [B, N]
     inl = (err2 < thr_n2) & mask[None, :]

@@ -57,6 +57,18 @@ class VisualInertialSLAM:
         self.min_tracked = 8
         self.lost_after = 3
         self._low_track_streak = 0
+        self._pending_health: list[tuple] = []
+        # online gravity refinement: the 4-frame init window cannot separate
+        # a small gravity-direction error from accelerometer bias (the
+        # reference never refines after init, optimizer.cpp:242-329); here
+        # the gravity/alignment/acc-bias solves are re-run periodically over
+        # an accumulated KEYFRAME chain, where the two become observable
+        self.gravity_refine_window = 12   # keyframes per chain (0 disables)
+        self.gravity_refine_every = 6     # keyframes between refinements
+        self.max_refine_angle = 0.35      # rad; distrust bigger corrections
+        self.max_refine_dba = 3.0         # m/s^2
+        self._kf_hist: list[tuple] = []
+        self._kfs_since_refine = 0
         # initializer sanity gates (beyond the reference, which accepts any
         # SfM/init output): minimum PnP inliers per accepted SfM frame and
         # physical-plausibility checks on the solved gravity/velocities
@@ -119,13 +131,20 @@ class VisualInertialSLAM:
                 vio_mod.sfm_step, consts=self.consts, static=self.static
             )
         )
-        from pose_estimation_tpu.ops import orb, remap
-
         def _seed_ref(img_l):
-            rect = remap.remap_bilinear(img_l, self.consts.map_l)
-            return orb.extract(rect, self.static.orb)
+            fl, _ = vio_mod.extract_rectified(
+                img_l, img_l, self.consts, self.static
+            )
+            return fl
 
         self._seed_ref = jax.jit(_seed_ref)
+        profile = cfg.profile
+        self._refine_jit = jax.jit(functools.partial(
+            init_solvers.refine_gravity,
+            unit_g=jnp.asarray(profile.gravity_dir, dtype),
+            axes=profile.alignment_axes,
+            gravity=jnp.asarray(cfg.gravity, dtype),
+        ))
         self._integrate = jax.jit(
             functools.partial(pre.integrate_chunk, params=self.consts.imu)
         )
@@ -153,9 +172,16 @@ class VisualInertialSLAM:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _pop_imu_chunk(self, img_ts: int):
+    def _pop_imu_chunks(self, img_ts: int):
         """Consume queued samples up to the image timestamp (half-sample
-        tolerance, `imu-preintegrator.cpp:196`). Returns padded arrays."""
+        tolerance, `imu-preintegrator.cpp:196`).
+
+        Returns a non-empty list of padded (gyr [m,3], acc [m,3], mask [m])
+        chunks covering ALL consumed samples — when more than `imu_chunk`
+        samples queued up (dropped frames, SFM rejects), the overflow is
+        split into extra leading chunks instead of silently discarded (the
+        reference integrates every queued sample, `imu-preintegrator.cpp:
+        196-233`)."""
         m = self.cfg.imu_chunk
         take = 0
         half = self._dt_us // 2 * 1000  # timestamps are ns in EuRoC
@@ -166,16 +192,36 @@ class VisualInertialSLAM:
         rows = self._imu_data[:take]
         self._imu_ts = self._imu_ts[take:]
         self._imu_data = self._imu_data[take:]
-        gyr = np.zeros((m, 3), np.float32)
-        acc = np.zeros((m, 3), np.float32)
-        mask = np.zeros(m, bool)
-        n = min(take, m)
-        if n:
-            arr = np.stack(rows[-m:] if take > m else rows)
-            gyr[:n] = arr[:, :3]
-            acc[:n] = arr[:, 3:]
-            mask[:n] = True
-        return jnp.asarray(gyr), jnp.asarray(acc), jnp.asarray(mask)
+        if take > m and self.verbose:
+            print(f"[slam] imu queue overflow: {take} samples -> "
+                  f"{-(-take // m)} chunks of {m}")
+        chunks = []
+        for lo in range(0, max(take, 1), m):
+            part = rows[lo : lo + m]
+            n = len(part)
+            gyr = np.zeros((m, 3), np.float32)
+            acc = np.zeros((m, 3), np.float32)
+            mask = np.zeros(m, bool)
+            if n:
+                arr = np.stack(part)
+                gyr[:n] = arr[:, :3]
+                acc[:n] = arr[:, 3:]
+                mask[:n] = True
+            chunks.append((jnp.asarray(gyr), jnp.asarray(acc), jnp.asarray(mask)))
+        return chunks
+
+    def _pop_imu_chunk(self, img_ts: int):
+        """Single-chunk variant: integrates any overflow chunks into the
+        running preintegration state and returns the FINAL chunk (callers
+        pass it to the fused step, which integrates it + finalizes)."""
+        chunks = self._pop_imu_chunks(img_ts)
+        for gyr, acc, mask in chunks[:-1]:
+            self.vio = self.vio._replace(
+                preint=self._integrate(
+                    self.vio.preint, gyr, acc, mask, self.vio.bg, self.vio.ba
+                )
+            )
+        return chunks[-1]
 
     def _synchronize(self, img_ts: int) -> bool:
         """Drop IMU samples predating the first image
@@ -286,23 +332,53 @@ class VisualInertialSLAM:
                 ) + "\n")
                 self._metrics_sink.flush()
             self._frame_count += 1
+            # device scalars are retained per frame and materialized in one
+            # host sync every reinit_check_every frames; the streak itself
+            # advances PER FRAME, so detection latency is bounded by the
+            # check cadence, not multiplied by it
+            win = self.vio.win
+            self._pending_health.append((
+                metrics["n_tracked"], metrics["need_reinit"],
+                metrics["is_keyframe"],
+                # lazy keyframe snapshot for gravity refinement: state +
+                # the finalized constraint ending at this keyframe
+                (win.R[-1], win.p[-1], win.v[-1],
+                 jax.tree.map(lambda a: a[-1], win.ics)),
+            ))
             if self._frame_count % self.reinit_check_every == 0:
-                # periodic host checks (each one syncs the pipeline)
-                if int(metrics["n_tracked"]) < self.min_tracked:
-                    self._low_track_streak += 1
-                else:
-                    self._low_track_streak = 0
-                if self._low_track_streak >= self.lost_after:
+                pending, self._pending_health = self._pending_health, []
+                lost = False
+                corrupted = False
+                for n_tracked, need_reinit, is_kf, snap in pending:
+                    if int(n_tracked) < self.min_tracked:
+                        self._low_track_streak += 1
+                    else:
+                        self._low_track_streak = 0
+                    lost = lost or self._low_track_streak >= self.lost_after
+                    corrupted = corrupted or bool(need_reinit)
+                    if bool(is_kf) and self.gravity_refine_window:
+                        self._kf_hist.append(snap)
+                        self._kfs_since_refine += 1
+                if len(self._kf_hist) > self.gravity_refine_window:
+                    del self._kf_hist[: -self.gravity_refine_window]
+                if lost:
                     if self.verbose:
                         print("[slam] tracking lost -> re-bootstrapping")
                     self._relocalize(img_l, img_r)
                     return True
-                if self.reinit_on_bias_corruption and bool(metrics["need_reinit"]):
+                if self.reinit_on_bias_corruption and corrupted:
                     # the reference detects this and leaves the transition
                     # commented out (`visual-inertial-slam.cpp:53-57`)
                     if self.verbose:
                         print("[slam] bias corrupted -> reinitializing")
                     self._reinitialize()
+                    return True
+                if (
+                    self.gravity_refine_window
+                    and len(self._kf_hist) >= self.gravity_refine_window
+                    and self._kfs_since_refine >= self.gravity_refine_every
+                ):
+                    self._refine_gravity()
             return True
 
         return True  # LOST: relocalization is future work (as in reference)
@@ -422,12 +498,71 @@ class VisualInertialSLAM:
         self._sfm_p = []
         self._sfm_ics = []
         self._low_track_streak = 0
+        self._pending_health = []
+        self._kf_hist = []
+        self._kfs_since_refine = 0
         self._ref_feats = self._seed_ref(img_l)
         keep_bg, keep_ba = self.vio.bg, self.vio.ba
         self.vio = vio_mod.init_vio_state(self.static)
         self.vio = self.vio._replace(
             bg=keep_bg, ba=keep_ba, preint=pre.init_state(self._dtype)
         )
+
+    def _refine_gravity(self):
+        """Online gravity refinement over the accumulated keyframe chain.
+
+        Re-runs the gravity/alignment/acc-bias solves (the exact init-stage
+        machinery, `optimizer.cpp:208-329`) on `gravity_refine_window`
+        optimized keyframe states, then applies the small world-alignment
+        rotation to ALL live state (window, landmark pool, history) and folds
+        the acc-bias correction into the window deltas (it reaches the
+        preintegrator at the next keyframe's bias update)."""
+        win = self.vio.win
+        hist = self._kf_hist[-self.gravity_refine_window:]
+        R = jnp.stack([h[0] for h in hist])
+        p = jnp.stack([h[1] for h in hist])
+        ics = jax.tree.map(lambda *a: jnp.stack(a), *[h[3] for h in hist[1:]])
+        # repropagate each constraint to the current bias estimate
+        bg_now = win.ics.bg_i[-1] + win.dbg[-1]
+        ba_now = win.ics.ba_i[-1] + win.dba[-1]
+        ics = jax.vmap(pre.repropagate)(
+            ics, bg_now[None] - ics.bg_i, ba_now[None] - ics.ba_i
+        )
+        g_est, delta_r, dba = self._refine_jit(R, p, ics)
+        g_norm = float(jnp.linalg.norm(g_est))
+        angle = float(jnp.linalg.norm(delta_r))
+        dba_n = float(jnp.linalg.norm(dba))
+        self._kfs_since_refine = 0
+        ok = (
+            np.isfinite(g_norm) and np.isfinite(angle) and np.isfinite(dba_n)
+            and 0.8 * self.cfg.gravity_magnitude < g_norm
+            < 1.2 * self.cfg.gravity_magnitude
+            and angle < self.max_refine_angle
+            and dba_n < self.max_refine_dba
+        )
+        if not ok:
+            if self.verbose:
+                print(f"[slam] gravity refine rejected (|g|={g_norm:.2f}, "
+                      f"angle={angle:.3f}, |dba|={dba_n:.3f})")
+            return
+        if self.verbose:
+            print(f"[slam] gravity refine: angle={angle*57.3:.2f} deg, "
+                  f"dba={np.asarray(dba)}")
+        d_rm = lie.so3_exp(delta_r)
+        pool = self.vio.pool
+        self.vio = self.vio._replace(
+            win=win._replace(
+                R=d_rm[None] @ win.R,
+                v=win.v @ d_rm.T,
+                p=win.p @ d_rm.T,
+                dba=win.dba + dba[None],
+            ),
+            pool=pool._replace(pos=pool.pos @ d_rm.T),
+        )
+        # keep the history consistent with the rotated world
+        self._kf_hist = [
+            (d_rm @ h[0], d_rm @ h[1], d_rm @ h[2], h[3]) for h in self._kf_hist
+        ]
 
     def _reinitialize(self):
         """Bias-corruption recovery: rerun the init solvers on the current
@@ -442,6 +577,8 @@ class VisualInertialSLAM:
             bg=jnp.zeros(3, self._dtype), ba=jnp.zeros(3, self._dtype),
             preint=pre.init_state(self._dtype),
         )
+        self._kf_hist = []
+        self._kfs_since_refine = 0
         self.state = State.INITIALIZING
 
     # ------------------------------------------------------------------ #
@@ -465,6 +602,9 @@ class VisualInertialSLAM:
         checkpointing at all; see pose_estimation_tpu/checkpoint.py)."""
         from pose_estimation_tpu import checkpoint as ckpt
 
+        def ser(tree):
+            return [np.asarray(leaf).tolist() for leaf in jax.tree.leaves(tree)]
+
         ckpt.save_checkpoint(path, self.vio, meta={
             "state": self.state.name,
             "frame_count": self._frame_count,
@@ -472,6 +612,14 @@ class VisualInertialSLAM:
             # host-side IMU queue (pending samples between frames)
             "imu_ts": list(self._imu_ts),
             "imu_data": [list(map(float, row)) for row in self._imu_data],
+            # health/refinement host state (exact-resume parity)
+            "low_track_streak": self._low_track_streak,
+            "kfs_since_refine": self._kfs_since_refine,
+            "kf_hist": [ser(h) for h in self._kf_hist],
+            "pending_health": [
+                [float(n), bool(r), bool(k), ser(s)]
+                for n, r, k, s in self._pending_health
+            ],
         })
 
     def load_checkpoint(self, path: str):
@@ -487,6 +635,28 @@ class VisualInertialSLAM:
             )
         self._imu_ts = [int(t) for t in meta.get("imu_ts", [])]
         self._imu_data = [np.asarray(r, np.float64) for r in meta.get("imu_data", [])]
+        self._low_track_streak = int(meta.get("low_track_streak", 0))
+        self._kfs_since_refine = int(meta.get("kfs_since_refine", 0))
+
+        win = self.vio.win
+        template = (
+            win.R[-1], win.p[-1], win.v[-1],
+            jax.tree.map(lambda a: a[-1], win.ics),
+        )
+        tdef = jax.tree.structure(template)
+        tleaves = jax.tree.leaves(template)
+
+        def deser(leaves_ser):
+            return jax.tree.unflatten(tdef, [
+                jnp.asarray(v, t.dtype)
+                for v, t in zip(leaves_ser, tleaves)
+            ])
+
+        self._kf_hist = [deser(h) for h in meta.get("kf_hist", [])]
+        self._pending_health = [
+            (jnp.asarray(n), jnp.asarray(r), jnp.asarray(k), deser(s))
+            for n, r, k, s in meta.get("pending_health", [])
+        ]
 
     def save_results(self, path: str = "states.csv"):
         """CSV dump byte-compatible with the reference

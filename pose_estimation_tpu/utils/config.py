@@ -190,6 +190,15 @@ class VIOConfig:
     pool_capacity: int = 1024       # landmark/feature pool capacity
     imu_chunk: int = 32             # max IMU samples per frame interval
     window_size: int = WINDOW_SIZE
+    # "sparse": detect on RAW frames, rectify keypoint coords analytically
+    # (ORB-SLAM2-style; no dense remap on the hot path). "dense": remap the
+    # full frames first, reference-faithful (`feature-tracker.cpp:75-76`).
+    rectify_mode: str = "sparse"
+    # refine landmark positions jointly with poses (Schur full BA) on each
+    # keyframe — the machinery the reference carries only commented out
+    # (`optimizer.cpp:122-133`)
+    full_ba_keyframes: bool = False
+    full_ba_iterations: int = 8
 
     @property
     def profile(self) -> DatasetProfile:

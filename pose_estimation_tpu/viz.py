@@ -72,6 +72,69 @@ def plot_trajectory(
     return out_path
 
 
+def project_points(
+    pos_w: np.ndarray,
+    R_wb: np.ndarray, p_wb: np.ndarray,
+    r_cb: np.ndarray, p_cb: np.ndarray,
+    fx: float, fy: float, cx: float, cy: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Project world landmarks into the (rectified) left camera.
+
+    Returns (px [L, 2], in_front [L]). Same chain the BA reprojection
+    residual uses: X_cam = R_cb (R_wb^T (X - p)) + p_cb."""
+    x_body = (pos_w - p_wb[None]) @ R_wb  # R_wb^T X, row-vector form
+    x_cam = x_body @ np.asarray(r_cb).T + np.asarray(p_cb)[None]
+    z = x_cam[:, 2]
+    in_front = z > 1e-6
+    zs = np.where(in_front, z, 1.0)
+    px = np.stack([fx * x_cam[:, 0] / zs + cx, fy * x_cam[:, 1] / zs + cy], -1)
+    return px, in_front
+
+
+def plot_ba_overlay(
+    img: np.ndarray,
+    obs_px: np.ndarray,        # [L, 2] measured pixels (current frame)
+    before_px: np.ndarray,     # [L, 2] landmark reprojections pre-solve
+    after_px: np.ndarray,      # [L, 2] reprojections post-solve
+    valid: np.ndarray,         # [L]
+    out_path: str = "ba_overlay.png",
+):
+    """Before/after BA reprojection overlay — the offline analog of the
+    reference's primary BA debugging view (`optimizer.cpp:140-180`, which
+    cv::circle's measured vs reprojected points on the live frame)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    v = np.asarray(valid, bool)
+    fig, ax = plt.subplots(figsize=(10, 7))
+    ax.imshow(np.asarray(img), cmap="gray", vmin=0, vmax=255)
+    o, b, a = obs_px[v], before_px[v], after_px[v]
+    for pp, qq in zip(o, a):
+        ax.plot([pp[0], qq[0]], [pp[1], qq[1]], "-", color="tab:blue",
+                lw=0.8, alpha=0.6)
+    ax.scatter(o[:, 0], o[:, 1], s=26, facecolors="none",
+               edgecolors="tab:green", label="measured")
+    ax.scatter(b[:, 0], b[:, 1], s=18, marker="x", color="tab:red",
+               label="reprojected (pre-solve)")
+    ax.scatter(a[:, 0], a[:, 1], s=18, marker="+", color="tab:blue",
+               label="reprojected (post-solve)")
+    err_b = np.linalg.norm(b - o, axis=1)
+    err_a = np.linalg.norm(a - o, axis=1)
+    ax.set_title(
+        f"BA reprojection: mean err {err_b.mean():.2f}px -> {err_a.mean():.2f}px"
+        f"  (n={v.sum()})"
+    )
+    ax.legend(loc="upper right")
+    ax.set_xlim(0, img.shape[1])
+    ax.set_ylim(img.shape[0], 0)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path
+
+
 def plot_states(states: dict, out_path: str = "states.png"):
     """Velocity and bias time series from a parsed states.csv."""
     import matplotlib

@@ -36,6 +36,36 @@ class TestRemap:
         assert exact.mean() > 0.95
 
 
+class TestRectifyPoints:
+    def test_matches_cv2_undistort_points(self):
+        """Device sparse rectification == cv2.undistortPoints(R, P) on the
+        EuRoC left camera (real distortion + rectifying rotation)."""
+        from pose_estimation_tpu import load_config
+        from pose_estimation_tpu.camera import CameraModel
+
+        cfg = load_config("/root/reference/config/euroc.yml", dataset="euroc")
+        cm = CameraModel.from_config(cfg)
+        rng = np.random.default_rng(7)
+        pts = np.stack([
+            rng.uniform(20, cfg.image_width - 20, 200),
+            rng.uniform(20, cfg.image_height - 20, 200),
+        ], axis=1).astype(np.float32)
+
+        k = np.asarray(cfg.k_left)
+        ours = np.asarray(remap.rectify_points(
+            jnp.asarray(pts),
+            jnp.asarray([k[0, 0], k[1, 1], k[0, 2], k[1, 2]], jnp.float32),
+            jnp.asarray(np.ravel(cfg.dist_left)[:5], jnp.float32),
+            jnp.asarray(cm.R1, jnp.float32),
+            jnp.asarray(cm.P1, jnp.float32),
+        ))
+        ref = cv2.undistortPoints(
+            pts.reshape(-1, 1, 2), k, np.asarray(cfg.dist_left),
+            R=cm.R1, P=cm.P1,
+        ).reshape(-1, 2)
+        np.testing.assert_allclose(ours, ref, atol=5e-2)
+
+
 class TestHamming:
     def test_matches_numpy_popcount(self):
         rng = np.random.default_rng(1)
@@ -259,3 +289,74 @@ class TestPnP:
         np.testing.assert_allclose(np.asarray(res.rvec), rvec_true, atol=1e-4)
         np.testing.assert_allclose(np.asarray(res.tvec), t_true, atol=1e-3)
         assert int(res.n_inliers) >= n_in * 0.95
+
+    @pytest.mark.parametrize("solver", ["epnp", "epnp_min"])
+    def test_solver_switch_recovers_pose(self, solver):
+        """The EPnP / 4-point minimal solver paths (reference `solvePnP`
+        switch, `feature-tracker.cpp:513-531`) recover the same pose."""
+        rng = np.random.default_rng(8)
+        n_in, n_out = 120, 30
+        X = np.stack([
+            rng.uniform(-3, 3, n_in), rng.uniform(-2, 2, n_in),
+            rng.uniform(4, 15, n_in)
+        ], axis=1)
+        rvec_true = np.array([0.08, -0.2, 0.12])
+        t_true = np.array([0.3, -0.2, 0.5])
+        R = np.asarray(lie.so3_exp(jnp.asarray(rvec_true)))
+        K = np.array([[400.0, 0, 370], [0, 400, 240], [0, 0, 1]])
+        Xc = (R @ X.T).T + t_true
+        px = (K @ Xc.T).T
+        px = px[:, :2] / px[:, 2:3]
+        ox = np.stack([rng.uniform(-3, 3, n_out), rng.uniform(-2, 2, n_out),
+                       rng.uniform(4, 15, n_out)], 1)
+        opx = np.stack([rng.uniform(0, 740, n_out), rng.uniform(0, 460, n_out)], 1)
+        obj = np.concatenate([X, ox])
+        pxs = np.concatenate([px, opx])
+        res = pnp.pnp_ransac(
+            jnp.asarray(obj), jnp.asarray(pxs), jnp.ones(n_in + n_out, bool),
+            jnp.asarray(K), jax.random.PRNGKey(2), solver=solver)
+        np.testing.assert_allclose(np.asarray(res.rvec), rvec_true, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res.tvec), t_true, atol=1e-3)
+        assert int(res.n_inliers) >= n_in * 0.95
+
+
+class TestExtractBatch:
+    def test_batch_matches_single(self):
+        """extract_batch over a stereo pair == per-image extract, exactly
+        (identical plane content; only the plane-stack layout differs)."""
+        img = sample_image().astype(np.float32)
+        img_l = jnp.asarray(img)
+        img_r = jnp.asarray(np.roll(img, 7, axis=1))
+        cfg = orb.OrbConfig(n_features=300)
+        fl, fr = orb.extract_pair(img_l, img_r, cfg)
+        sl = orb.extract(img_l, cfg)
+        sr = orb.extract(img_r, cfg)
+        for pair, single in ((fl, sl), (fr, sr)):
+            np.testing.assert_array_equal(np.asarray(pair.valid), np.asarray(single.valid))
+            np.testing.assert_array_equal(np.asarray(pair.level), np.asarray(single.level))
+            v = np.asarray(pair.valid)
+            np.testing.assert_allclose(
+                np.asarray(pair.xy)[v], np.asarray(single.xy)[v], atol=1e-5)
+            np.testing.assert_array_equal(
+                np.asarray(pair.desc)[v], np.asarray(single.desc)[v])
+
+    def test_levels_respect_budgets_and_bounds(self):
+        img = jnp.asarray(sample_image(), jnp.float32)
+        cfg = orb.OrbConfig(n_features=400)
+        feats = orb.extract(img, cfg)
+        budgets = orb.level_budgets(cfg)
+        assert feats.xy.shape[0] == sum(budgets)
+        lv = np.asarray(feats.level)
+        valid = np.asarray(feats.valid)
+        shapes = orb.pyramid_shapes(*img.shape, cfg)
+        xy = np.asarray(feats.xy)
+        for l, (lh, lw) in enumerate(shapes):
+            sel = valid & (lv == l)
+            if not sel.any():
+                continue
+            # level-local coords (xy is scaled back to level 0)
+            loc = xy[sel] / cfg.scale**l
+            assert loc[:, 0].min() >= orb.EDGE - 1
+            assert loc[:, 1].min() >= orb.EDGE - 1
+            assert loc[:, 0].max() <= lw - orb.EDGE + 1
+            assert loc[:, 1].max() <= lh - orb.EDGE + 1

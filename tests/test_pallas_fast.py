@@ -45,3 +45,15 @@ class TestPallasFast:
         img = jnp.asarray(rng.uniform(0, 255, (101, 128)), jnp.float32)
         raw, masked = fast_score_nms_pallas(img, interpret=True)
         assert raw.shape == img.shape and masked.shape == img.shape
+
+    def test_batched_planes_match_per_plane(self):
+        """[N,H,W] plane-stack launch == N separate 2D launches."""
+        rng = np.random.default_rng(3)
+        stack = jnp.asarray(rng.uniform(0, 255, (3, 96, 128)), jnp.float32)
+        raw_b, masked_b = fast_score_nms_pallas(stack, interpret=True)
+        for i in range(3):
+            raw_i, masked_i = fast_score_nms_pallas(stack[i], interpret=True)
+            np.testing.assert_array_equal(np.asarray(raw_b[i]), np.asarray(raw_i))
+            np.testing.assert_array_equal(
+                np.asarray(masked_b[i]), np.asarray(masked_i)
+            )

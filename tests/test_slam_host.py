@@ -67,3 +67,63 @@ class TestIngestion:
 
     def test_initial_state(self, slam):
         assert slam.state in (State.SYNCHRONIZING, State.SFM, State.OK)
+
+
+class TestImuOverflow:
+    def test_overflow_splits_into_chunks(self, slam):
+        """More than imu_chunk queued samples must ALL be consumed (the
+        reference integrates every queued sample, `imu-preintegrator.cpp:
+        196-233`) — overflow splits into extra chunks, none dropped."""
+        slam._imu_ts.clear()
+        slam._imu_data.clear()
+        m = slam.cfg.imu_chunk
+        dt_ns = 5_000_000
+        n = 3 * m + 5
+        feed(slam, [k * dt_ns for k in range(n + 1)])
+        chunks = slam._pop_imu_chunks(n * dt_ns)
+        assert len(chunks) == 4
+        total = sum(int(np.asarray(msk).sum()) for _, _, msk in chunks)
+        assert total == n
+        # remaining queue holds only the boundary sample
+        assert len(slam._imu_ts) == 1
+
+    def test_overflow_matches_sequential_preintegration(self, slam):
+        """Chunked integration over 3x+ chunk == one sequential oracle pass
+        over the same samples."""
+        import jax.numpy as jnp
+
+        from pose_estimation_tpu.imu import preintegration as pre
+
+        m = slam.cfg.imu_chunk
+        n = 3 * m + 7
+        rng = np.random.default_rng(11)
+        gyr = rng.normal(0, 0.2, (n, 3)).astype(np.float32)
+        acc = (rng.normal(0, 0.5, (n, 3)) + [0, 0, 9.81]).astype(np.float32)
+        bg = jnp.asarray([0.01, -0.02, 0.005], jnp.float32)
+        ba = jnp.asarray([0.1, 0.05, -0.08], jnp.float32)
+        params = slam.consts.imu
+
+        # oracle: one sequential pass over all n samples
+        ref = pre.integrate_chunk_sequential(
+            pre.init_state(), jnp.asarray(gyr), jnp.asarray(acc),
+            jnp.ones(n, bool), bg, ba, params,
+        )
+
+        # chunked path exactly as _pop_imu_chunk drives it
+        st = pre.init_state()
+        for lo in range(0, n, m):
+            g = np.zeros((m, 3), np.float32)
+            a = np.zeros((m, 3), np.float32)
+            msk = np.zeros(m, bool)
+            k = min(m, n - lo)
+            g[:k], a[:k], msk[:k] = gyr[lo:lo + k], acc[lo:lo + k], True
+            st = pre.integrate_chunk(
+                st, jnp.asarray(g), jnp.asarray(a), jnp.asarray(msk),
+                bg, ba, params,
+            )
+        np.testing.assert_allclose(np.asarray(st.dR), np.asarray(ref.dR), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(st.dv), np.asarray(ref.dv), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(st.dp), np.asarray(ref.dp), atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(st.cov9), np.asarray(ref.cov9), rtol=2e-3, atol=1e-10)
+        assert abs(float(st.dt) - float(ref.dt)) < 1e-5

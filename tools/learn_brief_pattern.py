@@ -1,0 +1,195 @@
+"""Learn a decorrelated rBRIEF test pattern (ORB-paper greedy algorithm).
+
+The reference ships ORB-SLAM2's learned `bit_pattern_31_` table
+(`/root/reference/src/ORBextractor.cc:150-409`), which is OpenCV training
+data — deliberately NOT copied. This tool re-runs the PUBLISHED learning
+procedure (Rublee et al., "ORB: an efficient alternative to SIFT or SURF",
+sec. 4.3) on the sample images the reference ships, producing our own
+pattern:
+
+1. detect FAST keypoints on the sample images (our own detector);
+2. gather rotation-normalized 31x31 blurred patches (steering by IC angle,
+   the same nearest-pixel rotation the descriptor uses at runtime);
+3. candidate tests = random point pairs in the patch; compute each test's
+   bit over all patches;
+4. greedy selection: order by |mean - 0.5| (high variance), admit the next
+   test whose absolute correlation with every chosen test stays below a
+   threshold; raise the threshold when exhausted (exactly the paper's
+   procedure).
+
+Output: `pose_estimation_tpu/ops/brief_pattern.py` with a [256, 2, 2] int8
+table, drop-in for the seeded-Gaussian pattern.
+
+Usage:  python tools/learn_brief_pattern.py [--n-candidates 40000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RADIUS = 13
+N_TESTS = 256
+
+IMAGE_GLOBS = [
+    "/root/reference/benchmark/cvRectify/*.jpg",
+    "/root/reference/benchmark/bundleAdjustment/*.jpg",
+    "/root/reference/tools/opencv-samples/cfsd-imageset/*.jpg",
+]
+
+
+def load_images():
+    try:
+        import cv2
+
+        read = lambda p: cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+    except ImportError:
+        from PIL import Image
+
+        read = lambda p: np.asarray(Image.open(p).convert("L"))
+    imgs = []
+    for pat in IMAGE_GLOBS:
+        for p in sorted(glob.glob(pat)):
+            img = read(p)
+            if img is not None and min(img.shape) > 100:
+                imgs.append(img.astype(np.float32))
+    return imgs
+
+
+def collect_patches(imgs, per_image=400):
+    """Rotation-normalized blurred patch samples: [N, 729] values on the
+    27x27 grid of integer offsets (|dx|,|dy| <= 13)."""
+    import jax.numpy as jnp
+
+    from pose_estimation_tpu.ops import fast as fast_mod
+    from pose_estimation_tpu.ops import orb as orb_mod
+
+    grid = np.mgrid[-RADIUS : RADIUS + 1, -RADIUS : RADIUS + 1]  # (dy, dx)
+    gy = grid[0].reshape(-1)
+    gx = grid[1].reshape(-1)
+
+    all_vals = []
+    for img in imgs:
+        jimg = jnp.asarray(img)
+        score = fast_mod.fast_score(jimg)
+        # wide border: rotated samples reach radius*sqrt(2) ~ 19
+        kps = fast_mod.select_keypoints(score, 20.0, 7.0, per_image, border=24)
+        valid = np.asarray(kps.valid)
+        xy = np.asarray(kps.xy)[valid]
+        if not len(xy):
+            continue
+        blur = np.asarray(orb_mod.gaussian_blur7(jimg))
+        ang = np.asarray(orb_mod.ic_angle(jimg, jnp.asarray(xy)))
+        ca, sa = np.cos(ang), np.sin(ang)
+        # rotated nearest-pixel sampling, matching brief_descriptors
+        sx = np.round(gx[None, :] * ca[:, None] - gy[None, :] * sa[:, None])
+        sy = np.round(gx[None, :] * sa[:, None] + gy[None, :] * ca[:, None])
+        cx = np.round(xy[:, 0]).astype(np.int64)[:, None]
+        cy = np.round(xy[:, 1]).astype(np.int64)[:, None]
+        h, w = img.shape
+        xx = np.clip(cx + sx.astype(np.int64), 0, w - 1)
+        yy = np.clip(cy + sy.astype(np.int64), 0, h - 1)
+        all_vals.append(blur[yy, xx])
+    return np.concatenate(all_vals, axis=0)
+
+
+def learn(vals, n_candidates=40000, seed=7):
+    """Greedy decorrelated selection; returns [256, 2, 2] int8 (pair, point,
+    (x, y))."""
+    n_pts = vals.shape[1]
+    rng = np.random.default_rng(seed)
+    cand = rng.integers(0, n_pts, size=(n_candidates, 2))
+    cand = cand[cand[:, 0] != cand[:, 1]]
+
+    bits = (vals[:, cand[:, 0]] < vals[:, cand[:, 1]])  # [N, C]
+    n = bits.shape[0]
+    means = bits.mean(axis=0)
+    order = np.argsort(np.abs(means - 0.5), kind="stable")
+
+    centered = (bits.astype(np.float32) - means[None, :])
+    stds = centered.std(axis=0) + 1e-9
+
+    chosen: list[int] = []
+    chosen_mat = np.zeros((n, N_TESTS), np.float32)
+    taken = np.zeros(len(cand), bool)
+    for thresh in np.arange(0.10, 0.95, 0.05):
+        for ci in order:
+            if len(chosen) >= N_TESTS:
+                break
+            if taken[ci] or stds[ci] < 1e-6:
+                continue
+            if chosen:
+                corr = (
+                    centered[:, ci] @ chosen_mat[:, : len(chosen)]
+                ) / (n * stds[ci] * stds_chosen[: len(chosen)])
+                if np.abs(corr).max() > thresh:
+                    continue
+            if not chosen:
+                stds_chosen = np.zeros(N_TESTS, np.float32)
+            chosen_mat[:, len(chosen)] = centered[:, ci]
+            stds_chosen[len(chosen)] = stds[ci]
+            chosen.append(ci)
+            taken[ci] = True
+        if len(chosen) >= N_TESTS:
+            break
+    assert len(chosen) == N_TESTS, f"only {len(chosen)} tests found"
+
+    grid = np.mgrid[-RADIUS : RADIUS + 1, -RADIUS : RADIUS + 1]
+    gy = grid[0].reshape(-1)
+    gx = grid[1].reshape(-1)
+    sel = cand[np.asarray(chosen)]
+    pattern = np.zeros((N_TESTS, 2, 2), np.int8)
+    pattern[:, 0, 0] = gx[sel[:, 0]]
+    pattern[:, 0, 1] = gy[sel[:, 0]]
+    pattern[:, 1, 0] = gx[sel[:, 1]]
+    pattern[:, 1, 1] = gy[sel[:, 1]]
+    return pattern, means[np.asarray(chosen)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-candidates", type=int, default=40000)
+    ap.add_argument("--per-image", type=int, default=400)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "pose_estimation_tpu", "ops", "brief_pattern.py",
+        ),
+    )
+    args = ap.parse_args()
+
+    imgs = load_images()
+    print(f"[learn] {len(imgs)} training images")
+    vals = collect_patches(imgs, args.per_image)
+    print(f"[learn] {vals.shape[0]} rotation-normalized patches")
+    pattern, means = learn(vals, args.n_candidates)
+    print(f"[learn] mean(|bit mean - 0.5|) = {np.abs(means - 0.5).mean():.4f}")
+
+    rows = ",\n    ".join(
+        f"(({int(p[0,0])}, {int(p[0,1])}), ({int(p[1,0])}, {int(p[1,1])}))"
+        for p in pattern
+    )
+    with open(args.out, "w") as f:
+        f.write(
+            '"""Learned rBRIEF pattern (generated by tools/learn_brief_pattern.py).\n\n'
+            "Greedily decorrelated binary tests (Rublee et al., sec 4.3) trained on\n"
+            "the sample images shipped in /root/reference/benchmark and\n"
+            "tools/opencv-samples — our own training run, NOT the OpenCV/ORB-SLAM2\n"
+            'table. Layout: [256 tests, 2 points, (x, y)] in patch coords.\n"""\n\n'
+            "import numpy as np\n\n"
+            "LEARNED_PATTERN = np.array([\n    "
+            + rows
+            + "\n], dtype=np.int8)\n"
+        )
+    print(f"[learn] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
