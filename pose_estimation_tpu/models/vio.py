@@ -132,6 +132,13 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
         gravity=jnp.asarray(cfg.gravity, dtype),
         imu=pre.ImuParams.from_config(cfg, dtype),
     )
+    fast_backend = cfg.fast_backend
+    if fast_backend == "auto":
+        import jax as _jax
+
+        fast_backend = (
+            "pallas" if _jax.default_backend() in ("tpu", "axon") else "xla"
+        )
     static = VIOStatic(
         orb=orb.OrbConfig(
             n_features=cfg.num_features,
@@ -139,6 +146,7 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
             scale=cfg.scale_factor,
             th_hi=float(cfg.ini_th_fast),
             th_lo=float(cfg.min_th_fast),
+            fast_backend=fast_backend,
         ),
         match_ratio=cfg.match_ratio,
         min_match_dist=cfg.min_match_dist,

@@ -199,6 +199,11 @@ class VIOConfig:
     # (`optimizer.cpp:122-133`)
     full_ba_keyframes: bool = False
     full_ba_iterations: int = 8
+    # FAST corner backend: "auto" resolves to the fused Pallas score+NMS
+    # kernel on TPU (bit-exact vs the XLA path, one HBM read+write per
+    # pixel, no min-tree temp blowup at batch scale) and to the XLA
+    # formulation elsewhere (CPU tests). "xla"/"pallas" force a choice.
+    fast_backend: str = "auto"
 
     @property
     def profile(self) -> DatasetProfile:
