@@ -65,41 +65,36 @@ def supervise():
 
 
 def make_stereo_frames(h, w, n, rng):
-    """n distinct textured stereo pairs with plausible disparity.
+    """n stereo pairs forming a COHERENT panning sequence.
 
-    Left: band-limited noise (moving-average-filtered uniform) so FAST finds
-    corners at natural densities. Right: left warped horizontally by a
-    smooth disparity field (near-ground larger disparity at the bottom,
-    4-40 px), plus independent pixel noise.
+    One band-limited-noise scene; frame i's left view is a crop shifted
+    8 px right of frame i-1's, so temporal ORB matching tracks features and
+    the BA branch genuinely runs (a step whose tracking always fails would
+    time the BA-skipped path). Right: left warped horizontally by a smooth
+    disparity field (4-40 px, larger near the bottom) + pixel noise.
     """
     import numpy as np
 
-    def texture():
-        img = rng.uniform(0, 255, (h, w)).astype(np.float32)
-        # separable 5x5 box blur, then re-stretch contrast
-        k = np.ones(5, np.float32) / 5
-        img = np.apply_along_axis(
-            lambda v: np.convolve(v, k, mode="same"), 0, img)
-        img = np.apply_along_axis(
-            lambda v: np.convolve(v, k, mode="same"), 1, img)
-        img = (img - img.min()) / max(float(np.ptp(img)), 1e-6) * 255
-        return img.astype(np.float32)
+    shift = 8
+    scene = rng.uniform(0, 255, (h, w + shift * n)).astype(np.float32)
+    k = np.ones(5, np.float32) / 5
+    scene = np.apply_along_axis(
+        lambda v: np.convolve(v, k, mode="same"), 0, scene)
+    scene = np.apply_along_axis(
+        lambda v: np.convolve(v, k, mode="same"), 1, scene)
+    scene = (scene - scene.min()) / max(float(np.ptp(scene)), 1e-6) * 255
 
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    disp = 4.0 + 36.0 * (ys / h) + 3.0 * np.sin(xs / 61.0)
+    src_x = np.clip(xs + disp, 0, w - 1)
+    x0 = np.floor(src_x).astype(np.int32)
+    fx = src_x - x0
+    x1 = np.minimum(x0 + 1, w - 1)
+    yi = ys.astype(np.int32)
     frames = []
-    for _ in range(n):
-        left = texture()
-        # smooth disparity: 4 px at the top to ~40 px at the bottom, with a
-        # gentle horizontal ripple (depth structure)
-        disp = 4.0 + 36.0 * (ys / h) + 3.0 * np.sin(xs / 61.0)
-        src_x = np.clip(xs + disp, 0, w - 1)
-        x0 = np.floor(src_x).astype(np.int32)
-        fx = src_x - x0
-        x1 = np.minimum(x0 + 1, w - 1)
-        right = (
-            left[ys.astype(np.int32), x0] * (1 - fx)
-            + left[ys.astype(np.int32), x1] * fx
-        )
+    for i in range(n):
+        left = np.ascontiguousarray(scene[:, i * shift : i * shift + w])
+        right = left[yi, x0] * (1 - fx) + left[yi, x1] * fx
         right = right + rng.normal(0, 1.0, right.shape)
         frames.append((left, right.astype(np.float32)))
     return frames
@@ -197,8 +192,9 @@ def main():
             results[b] = measure(b, n_iter=5)
         except Exception as e:  # OOM / tunnel fault on this size only
             log(f"B={b} failed: {type(e).__name__}: {str(e)[:200]}")
-    if not results:
-        raise RuntimeError("no batched size succeeded")
+    # single-stream-per-chip is itself a deployable configuration; the
+    # headline is the best measured frames/s/chip over all of them
+    results[1] = (fps_single, dt1)
     best_b = max(results, key=lambda b: results[b][0])
     fps_best, dt_best = results[best_b]
     sizes = sorted(results)

@@ -47,10 +47,10 @@ class TestEndToEnd:
         traj = slam.trajectory
         path_len = np.linalg.norm(np.diff(gt[:, 1:], axis=0), axis=1).sum()
         ate = ate_rmse(traj, gt)
-        # windowed VIO drift bound: <= 10% of path length on this geometry
-        # (depth ~40x baseline; billboard-splat rendering has structured
-        # sub-pixel noise)
-        assert ate < 0.10 * path_len, (ate, path_len)
+        # flagship config (keyframe full BA): measured 2.3% of path on this
+        # geometry (depth ~40x baseline; billboard-splat rendering has
+        # structured sub-pixel noise); gate at 5% for seed/headroom
+        assert ate < 0.05 * path_len, (ate, path_len)
 
     def test_biases_bounded(self, run_result):
         slam, gt = run_result
@@ -59,11 +59,11 @@ class TestEndToEnd:
         ba = np.asarray(win.ics.ba_i[-1] + win.dba[-1])
         # true biases are zero; gyro bias is strongly observable and must
         # stay tight; acc bias is weakly observable within a 4-frame window
-        # (it absorbs the initializer's gravity-direction error, as in the
-        # reference) so its gate is loose — and the exact final value shifts
-        # by ~1 m/s^2 between f32/f64 test modes
-        assert np.linalg.norm(bg) < 0.05
-        assert np.linalg.norm(ba) < 4.5
+        # (tilt <-> ba coupling — the reference has the same structure).
+        # Measured with the bias-walk offset fix + keyframe full BA:
+        # |bg| ~ 0.008, |ba| ~ 1.4; gates at ~2x headroom.
+        assert np.linalg.norm(bg) < 0.03
+        assert np.linalg.norm(ba) < 2.5
 
     def test_full_ba_improves_ate(self):
         """Keyframe full BA (Schur landmark refinement) must beat the
@@ -92,6 +92,21 @@ class TestEndToEnd:
         sim = StereoInertialSim(cfg, n_landmarks=150, seed=0)
         slam = VisualInertialSLAM(cfg, reinit_on_bias_corruption=False)
         gt = sim.run(slam, duration=3.0, imu_noise=2.4e-3)
+        assert slam.state == State.OK
+        path = np.linalg.norm(np.diff(gt[:, 1:], axis=0), axis=1).sum()
+        assert ate_rmse(slam.trajectory, gt) < 0.10 * path
+
+    def test_dense_rectify_mode(self):
+        """The reference-faithful dense-remap front-end (rectify_mode=
+        "dense", `feature-tracker.cpp:75-76`) must track end-to-end too —
+        it is the parity mode and the fallback for heavy distortion."""
+        cfg = sim_config(
+            keyframe_rotation=0.1, keyframe_translation=0.15,
+            rectify_mode="dense",
+        )
+        sim = StereoInertialSim(cfg, n_landmarks=150, seed=0)
+        slam = VisualInertialSLAM(cfg, reinit_on_bias_corruption=False)
+        gt = sim.run(slam, duration=3.0)
         assert slam.state == State.OK
         path = np.linalg.norm(np.diff(gt[:, 1:], axis=0), axis=1).sum()
         assert ate_rmse(slam.trajectory, gt) < 0.10 * path
