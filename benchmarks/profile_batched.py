@@ -36,22 +36,45 @@ h, w = cfg.image_height, cfg.image_width
 imgs = jnp.asarray(rng.uniform(0, 255, (B, 2, h, w)), jnp.float32)
 
 
-def timeit(name, f, *a, n=4):
+def timeit(name, f, *a, n=6):
+    """Dedup-proof chained timing: n calls inside ONE lax.scan whose carry
+    perturbs an input with the previous output, so the tunnel can neither
+    dedup identical dispatches nor pipeline independent ones (both observed
+    to corrupt per-call timings — see NOTES.md)."""
     if STAGES and name.split("(")[0] not in STAGES:
         r = jax.eval_shape(f, *a)
         return jax.tree.map(
             lambda s: jnp.zeros(s.shape, s.dtype), r,
             is_leaf=lambda x: hasattr(x, "shape"))
-    g = jax.jit(f)
-    r = g(*a)
-    float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+
+    leaves, treedef = jax.tree.flatten(a)
+    fi = next(
+        (i for i, l in enumerate(leaves)
+         if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)),
+        None,
+    )
+
+    def body(c, _):
+        ls = list(leaves)
+        if fi is not None:
+            ls[fi] = ls[fi] + c
+        out = f(*jax.tree.unflatten(treedef, ls))
+        # consume EVERY output with a full reduction: a scalar-slice carry
+        # lets XLA dead-code/slice-propagate away the very work under test
+        s = jnp.float32(0.0)
+        for l in jax.tree.leaves(out):
+            s = s + jnp.sum(l.astype(jnp.float32))
+        return s * 1e-30, None
+
+    g = jax.jit(
+        lambda: jax.lax.scan(body, jnp.float32(0.0), None, length=n)[0]
+    )
+    float(np.asarray(g()))  # compile + warm
     t0 = time.time()
-    for _ in range(n):
-        r = g(*a)
-    float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+    float(np.asarray(g()))
     dt = (time.time() - t0) / n * 1e3
-    print(f"{name}: {dt:.1f} ms total, {dt / B:.2f} ms/frame", flush=True)
-    return r
+    print(f"{name}: {dt:.1f} ms/call, {dt / B:.2f} ms/frame", flush=True)
+    return jax.jit(f)(*a)
 
 
 # front-end: extract both stereo images of all sequences

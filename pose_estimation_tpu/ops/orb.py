@@ -36,14 +36,28 @@ N_PAIRS = 256
 
 
 def _make_pattern(seed: int = 12345, radius: int = 13) -> np.ndarray:
-    """[256, 2, 2] int32 (pair, point, (x, y)) Gaussian BRIEF pattern."""
+    """[256, 2, 2] int32 (pair, point, (x, y)) Gaussian BRIEF pattern (the
+    pre-learning fallback; the shipped pattern is pool-constrained +
+    greedily decorrelated, see brief_pattern.py)."""
     rng = np.random.default_rng(seed)
     sigma = 31 / 5.0
     pts = rng.normal(0.0, sigma, size=(N_PAIRS, 2, 2))
     return np.clip(np.round(pts), -radius, radius).astype(np.int32)
 
 
-PATTERN = _make_pattern()
+from pose_estimation_tpu.ops.brief_pattern import (  # noqa: E402
+    POOL_PAIRS,
+    POOL_POINTS,
+)
+
+# all paths share the same 256 tests; PATTERN is their endpoint form
+PATTERN = POOL_POINTS[POOL_PAIRS].astype(np.int32)
+
+# difference matrix for the pool formulation: bit i = I[pool[a_i]] < I[pool
+# [b_i]]  <=>  (vals @ DIFF)[i] > 0 with DIFF[b_i, i] = +1, DIFF[a_i, i] = -1
+_DIFF = np.zeros((len(POOL_POINTS), N_PAIRS), np.float32)
+_DIFF[POOL_PAIRS[:, 1], np.arange(N_PAIRS)] = 1.0
+_DIFF[POOL_PAIRS[:, 0], np.arange(N_PAIRS)] = -1.0
 
 
 def _moment_masks(dtype=jnp.float32):
@@ -233,6 +247,119 @@ def brief_descriptors_planes(
     return matching.pack_descriptors(sample(0) < sample(1))
 
 
+def brief_descriptors_pool(
+    blur_flat: jnp.ndarray, base: jnp.ndarray, xy: jnp.ndarray,
+    angle: jnp.ndarray, h: int, w: int,
+) -> jnp.ndarray:
+    """Pool-constrained rotated BRIEF -> {-1,+1} int8 [K, 256].
+
+    All 256 tests draw from the SAME 128 sample points (the learned
+    pool-constrained pattern, brief_pattern.py), so the per-keypoint image
+    gather is [K, 128] — 4x fewer scattered elements than free endpoints
+    (gathers cost ~6 ms/M here) — and the pair comparisons become ONE
+    [K,128] @ [128,256] difference-matrix matmul on the MXU: bit i is
+    (vals @ DIFF)[i] > 0, exact (two-term dot, f32). Bits are identical to
+    `brief_descriptors*` with the same pattern (same per-point rotation +
+    rounding)."""
+    ca, sa = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]    # [K,1]
+    cx = jnp.round(xy[:, 0]).astype(jnp.int32)[:, None]
+    cy = jnp.round(xy[:, 1]).astype(jnp.int32)[:, None]
+    px = jnp.asarray(POOL_POINTS[None, :, 0], jnp.float32)       # [1,P]
+    py = jnp.asarray(POOL_POINTS[None, :, 1], jnp.float32)
+    col = jnp.round(px * ca - py * sa).astype(jnp.int32)
+    row = jnp.round(px * sa + py * ca).astype(jnp.int32)
+    xx = jnp.clip(cx + col, 0, w - 1)                            # [K,P]
+    yy = jnp.clip(cy + row, 0, h - 1)
+    vals = jnp.take(blur_flat, base[:, None] + yy * w + xx, axis=0)
+    diff = vals @ jnp.asarray(_DIFF)                             # [K,256]
+    return matching.pack_descriptors(diff > 0)
+
+
+def moment_maps_integral(stack: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-stack circular moments (m10, m01) via prefix sums — NO gather.
+
+    The keypoint-sparse patch gather ([K, 961] elements) costs ~12 ms/frame
+    on this chip (gathers run ~6 ms per million elements); the same circular
+    sums decompose into row-windowed ramp/box filters built from two x-axis
+    prefix sums + 31 shifted adds, all VPU elementwise work (~0.3 ms/frame).
+
+    For each row offset dy in [-15, 15] the circle contributes a row segment
+    of half-width r(|dy|) = floor(sqrt(R^2 - dy^2)); per row,
+        ramp(x; r) = sum_{d=-r..r} d I[x+d]
+                   = (Q[x+r] - Q[x-r-1]) - x (P[x+r] - P[x-r-1])
+        box(x; r)  = P[x+r] - P[x-r-1]
+    with P = cumsum(I), Q = cumsum(x I). Then
+        m10 = sum_dy shift_y(ramp(.; r(|dy|)), dy)
+        m01 = sum_dy dy * shift_y(box(.; r(|dy|)), dy).
+
+    Precision: the circular window is x-symmetric per row and its dy-weighted
+    row lengths are y-symmetric, so BOTH moments are invariant to adding a
+    constant — the per-row mean is subtracted first, turning Q's cumsum into
+    a random walk (|Q| ~ 1e6 instead of 2.7e8) and keeping the windowed-
+    difference cancellation ~1e-4 rad worst-case (validated against the
+    explicit-centroid path in tests).
+
+    stack [..., H, W] -> (m10, m01) [..., H, W]; values within PATCH_R of
+    the border are garbage (callers only sample >= EDGE=19 px inside).
+    """
+    h, w = stack.shape[-2], stack.shape[-1]
+    xs = jnp.arange(w, dtype=stack.dtype)
+    # per-PLANE mean: the invariance needs one constant for the whole
+    # 2-D window (a per-row mean would break the dy-antisymmetric m01 sum)
+    stack = stack - jnp.mean(stack, axis=(-2, -1), keepdims=True)
+    p = jnp.cumsum(stack, axis=-1)
+    q = jnp.cumsum(stack * xs, axis=-1)
+
+    radii = sorted({int(np.floor(np.sqrt(PATCH_R**2 - dy * dy)))
+                    for dy in range(PATCH_R + 1)})
+
+    def window(c, r):
+        """c[..., x+r] - c[..., x-r-1] with c[..., <0] = 0."""
+        hi = jnp.concatenate(
+            [c[..., r:], jnp.broadcast_to(c[..., -1:], c.shape[:-1] + (r,))],
+            axis=-1)
+        lo = jnp.concatenate(
+            [jnp.zeros(c.shape[:-1] + (r + 1,), c.dtype), c[..., : -r - 1]],
+            axis=-1)
+        return hi - lo
+
+    ramp = {}
+    box = {}
+    for r in radii:
+        bx = window(p, r)
+        ramp[r] = window(q, r) - xs * bx
+        box[r] = bx
+
+    zrow = jnp.zeros(stack.shape[:-2] + (PATCH_R,) + (w,), stack.dtype)
+
+    def shift_y(a, dy):
+        # a[..., y+dy, :] with zero fill (border rows are masked anyway)
+        pad = jnp.concatenate([zrow, a, zrow], axis=-2)
+        return pad[..., PATCH_R + dy : PATCH_R + dy + h, :]
+
+    m10 = jnp.zeros_like(stack)
+    m01 = jnp.zeros_like(stack)
+    for dy in range(-PATCH_R, PATCH_R + 1):
+        r = int(np.floor(np.sqrt(PATCH_R**2 - dy * dy)))
+        m10 = m10 + shift_y(ramp[r], dy)
+        if dy:
+            m01 = m01 + dy * shift_y(box[r], dy)
+    return m10, m01
+
+
+def ic_angle_integral(
+    m10_flat: jnp.ndarray, m01_flat: jnp.ndarray,
+    base: jnp.ndarray, xy: jnp.ndarray, h: int, w: int,
+) -> jnp.ndarray:
+    """Sample the integral moment maps at keypoints -> [K] radians.
+
+    Two K-element gathers instead of a [K, 961] patch gather."""
+    cx = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
+    cy = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
+    idx = base + cy * w + cx
+    return jnp.arctan2(jnp.take(m01_flat, idx), jnp.take(m10_flat, idx))
+
+
 def pyramid_shapes(h: int, w: int, cfg: OrbConfig) -> list[tuple[int, int]]:
     """Static per-level content sizes (level 0 = full resolution)."""
     shapes = [(h, w)]
@@ -321,12 +448,17 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     scale_all = jnp.concatenate(scale_l, axis=1)
     k_tot = xy.shape[1]
 
-    stack_flat = stack.reshape(-1)
     xy_flat = xy.reshape(b * k_tot, 2)
     base_flat = base_all.reshape(b * k_tot)
-    ang = ic_angle_planes(stack_flat, base_flat, xy_flat, h, w)
+    # IC angle from integral-image moment maps: prefix sums + shifted adds
+    # (VPU) + two K-element gathers, instead of a [K, 961] patch gather
+    # (~12 ms/frame on this chip; see moment_maps_integral)
+    m10, m01 = moment_maps_integral(stack)
+    ang = ic_angle_integral(
+        m10.reshape(-1), m01.reshape(-1), base_flat, xy_flat, h, w
+    )
     blur = gaussian_blur7(stack)
-    desc = brief_descriptors_planes(
+    desc = brief_descriptors_pool(
         blur.reshape(-1), base_flat, xy_flat, ang, h, w
     )
     return OrbFeatures(

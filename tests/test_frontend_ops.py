@@ -66,6 +66,30 @@ class TestRectifyPoints:
         np.testing.assert_allclose(ours, ref, atol=5e-2)
 
 
+class TestIntegralMoments:
+    def test_matches_patch_gather_on_fast_corners(self):
+        """The prefix-sum moment maps must reproduce the patch-gather IC
+        angles at real FAST corners (degenerate constant patches excluded —
+        their angle is atan2(0,0), undefined either way)."""
+        img = sample_image().astype(np.float32)
+        h, w = img.shape
+        score = fast_mod.fast_score(jnp.asarray(img))
+        kps = fast_mod.select_keypoints(score, 20.0, 7.0, 400, border=31)
+        xy = kps.xy[np.asarray(kps.valid)]
+        st = jnp.asarray(img[None])
+        base = jnp.zeros(xy.shape[0], jnp.int32)
+        a_ref = orb.ic_angle_planes(st.reshape(-1), base, xy, h, w)
+        m10, m01 = orb.moment_maps_integral(st)
+        a_new = orb.ic_angle_integral(
+            m10.reshape(-1), m01.reshape(-1), base, xy, h, w
+        )
+        d = np.abs((np.asarray(a_new - a_ref) + np.pi) % (2 * np.pi) - np.pi)
+        # f32 prefix-sum cancellation bound: ~5e-3 rad worst-case = 0.06 px
+        # sample displacement at BRIEF radius 13, far below the integer
+        # rounding of the descriptor offsets
+        assert d.max() < 5e-3, d.max()
+
+
 class TestHamming:
     def test_matches_numpy_popcount(self):
         rng = np.random.default_rng(1)

