@@ -140,10 +140,20 @@ ang = timeit(
     "x_angle",
     lambda s, b, p: orb.ic_angle_planes(s.reshape(-1), b, p, h, w),
     stack, base_flat, xy_flat)
+timeit(
+    "x_angle_integral",
+    lambda s, b, p: orb.ic_angle_integral(
+        *(m.reshape(-1) for m in orb.moment_maps_integral(s)), b, p, h, w),
+    stack, base_flat, xy_flat)
 blur = timeit("x_blur", orb.gaussian_blur7, stack)
 timeit(
     "x_brief",
     lambda bl, b, p, a: orb.brief_descriptors_planes(
+        bl.reshape(-1), b, p, a, h, w),
+    blur, base_flat, xy_flat, ang)
+timeit(
+    "x_brief_pool",
+    lambda bl, b, p, a: orb.brief_descriptors_pool(
         bl.reshape(-1), b, p, a, h, w),
     blur, base_flat, xy_flat, ang)
 fl = jax.tree.map(lambda a: a[:, 0], feats)
