@@ -178,6 +178,12 @@ class OrbConfig(NamedTuple):
     # "xla" = roll/min-tree formulation; "pallas" = fused score+NMS kernel
     # (ops/pallas_fast.py), one HBM read + one write per pixel
     fast_backend: str = "xla"
+    # IC-angle moment maps: "integral" = XLA prefix-sum formulation (the
+    # measured-fastest path on this chip); "pallas" = experimental in-VMEM
+    # band kernel (pallas_fast.moment_maps_pallas) — numerically equal but
+    # per-program-overhead-bound on v5e (measured 371 ms vs 14 ms per
+    # 16-plane stack), kept opt-in for future tuning
+    moments_backend: str = "integral"
 
 
 class OrbFeatures(NamedTuple):
@@ -456,9 +462,16 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     xy_flat = xy.reshape(b * k_tot, 2)
     base_flat = base_all.reshape(b * k_tot)
     # IC angle from integral-image moment maps: prefix sums + shifted adds
-    # (VPU) + two K-element gathers, instead of a [K, 961] patch gather
-    # (~12 ms/frame on this chip; see moment_maps_integral)
-    m10, m01 = moment_maps_integral(stack)
+    # + two K-element gathers, instead of a [K, 961] patch gather
+    # (~12 ms/frame on this chip; see moment_maps_integral). The Pallas
+    # kernel keeps the whole shifted-add chain in VMEM (the XLA form
+    # round-trips it through HBM).
+    if cfg.moments_backend == "pallas":
+        from pose_estimation_tpu.ops.pallas_fast import moment_maps_pallas
+
+        m10, m01 = moment_maps_pallas(stack)
+    else:
+        m10, m01 = moment_maps_integral(stack)
     ang = ic_angle_integral(
         m10.reshape(-1), m01.reshape(-1), base_flat, xy_flat, h, w
     )

@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 from pose_estimation_tpu.ops.fast import CIRCLE
@@ -129,3 +130,110 @@ def fast_score_nms_pallas(
     if squeeze:
         raw, out = raw[0], out[0]
     return raw, out
+
+
+# --------------------------------------------------------------------------- #
+# fused circular-moment maps (IC angle)
+# --------------------------------------------------------------------------- #
+
+MR = 15          # orientation patch radius (orb.PATCH_R)
+_PADL = 16       # lane pad: window reads x - r - 1 >= -16, x + r <= W-1+15
+
+
+def _moments_kernel(
+    img_ref, m10_ref, m01_ref, *, band: int, width: int, n_bands: int
+):
+    """One (plane, row-band) program: in-VMEM lane prefix sums + windowed
+    ramp/box filters + the 31-row circular accumulation. Same math as
+    `orb.moment_maps_integral` (see its docstring for the decomposition and
+    the precision argument) with the whole band's intermediate chain
+    resident in VMEM — the XLA formulation materializes the shifted adds
+    through HBM (~8-10 ms/frame; this kernel is one read + two writes)."""
+    i = pl.program_id(0) % n_bands
+    rows = band + 2 * MR
+    # the plane is zero-meaned and zero-padded BEFORE the kernel, so pads
+    # read as exact zeros and the prefix sums start clean
+    tile = img_ref[0, pl.ds(i * band, rows), :]              # [rows, Wp]
+    lane = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+
+    # centered x-weights (same centering as the XLA path)
+    xc = lane.astype(tile.dtype) - (_PADL + width / 2.0)
+
+    def cumsum_lanes(t):
+        s = 1
+        acc = t
+        while s < t.shape[1]:
+            acc = acc + jnp.where(lane >= s, jnp.roll(acc, s, axis=1), 0.0)
+            s *= 2
+        return acc
+
+    p = cumsum_lanes(tile)
+    q = cumsum_lanes(tile * xc)
+
+    def window(c, r):
+        # c[x+r] - c[x-r-1]; rolls wrap into the >=16-lane pads, never read.
+        # A zero shift must bypass roll: Mosaic rejects the zero-size slice
+        # jnp.roll(c, 0) lowers to.
+        hi = c if r == 0 else jnp.roll(c, -r, axis=1)
+        lo = jnp.roll(c, r + 1, axis=1)
+        return hi - lo
+
+    radii = sorted({int(np.floor(np.sqrt(MR * MR - dy * dy)))
+                    for dy in range(MR + 1)})
+    ramp = {}
+    box = {}
+    for r in radii:
+        bx = window(p, r)
+        ramp[r] = window(q, r) - xc * bx
+        box[r] = bx
+
+    m10 = jnp.zeros((band, tile.shape[1]), tile.dtype)
+    m01 = jnp.zeros((band, tile.shape[1]), tile.dtype)
+    for dy in range(-MR, MR + 1):
+        r = int(np.floor(np.sqrt(MR * MR - dy * dy)))
+        m10 = m10 + ramp[r][MR + dy : MR + dy + band]
+        if dy:
+            m01 = m01 + dy * box[r][MR + dy : MR + dy + band]
+
+    m10_ref[0, :, :] = m10[:, _PADL : _PADL + width]
+    m01_ref[0, :, :] = m01[:, _PADL : _PADL + width]
+
+
+def moment_maps_pallas(
+    stack: jnp.ndarray, band: int = 16, interpret: bool = False
+):
+    """(m10, m01) circular moment maps for a plane stack [N, H, W].
+
+    Matches `orb.moment_maps_integral` to float tolerance (same prefix-sum
+    decomposition, same per-plane mean subtraction and centered x-weights);
+    border values within PATCH_R are garbage in both (masked by callers)."""
+    n, h, w = stack.shape
+    hp = -(-h // band) * band
+    # per-plane mean subtraction happens OUTSIDE the kernel (one elementwise
+    # pass) so the zero pads below are exact zeros for the prefix sums; see
+    # orb.moment_maps_integral for why the moments are mean-invariant
+    stack = stack - jnp.mean(stack, axis=(1, 2), keepdims=True)
+    img_p = jnp.pad(
+        stack, ((0, 0), (MR, hp - h + MR), (_PADL, _PADL))
+    )
+
+    n_bands = hp // band
+    m10, m01 = pl.pallas_call(
+        functools.partial(
+            _moments_kernel, band=band, width=w, n_bands=n_bands
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, hp, w), stack.dtype),
+            jax.ShapeDtypeStruct((n, hp, w), stack.dtype),
+        ),
+        grid=(n * n_bands,),
+        in_specs=[
+            pl.BlockSpec((1,) + img_p.shape[1:], lambda g: (g // n_bands, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, band, w), lambda g: (g // n_bands, g % n_bands, 0)),
+            pl.BlockSpec((1, band, w), lambda g: (g // n_bands, g % n_bands, 0)),
+        ),
+        interpret=interpret,
+    )(img_p)
+    return m10[:, :h], m01[:, :h]

@@ -57,3 +57,42 @@ class TestPallasFast:
             np.testing.assert_array_equal(
                 np.asarray(masked_b[i]), np.asarray(masked_i)
             )
+
+
+class TestPallasMoments:
+    def test_angles_match_integral_formulation(self):
+        """moment_maps_pallas == orb.moment_maps_integral at the ANGLE level
+        (raw moments differ by f32 summation-order noise only)."""
+        from pose_estimation_tpu.ops import orb
+        from pose_estimation_tpu.ops.pallas_fast import moment_maps_pallas
+
+        rng = np.random.default_rng(3)
+        h, w = 120, 160
+        stack = jnp.asarray(rng.uniform(0, 255, (4, h, w)), jnp.float32)
+        k = 300
+        plane = jnp.asarray(rng.integers(0, 4, k), jnp.int32)
+        xy = jnp.asarray(np.stack([
+            rng.uniform(20, w - 20, k), rng.uniform(20, h - 20, k)], -1),
+            jnp.float32)
+        base = plane * (h * w)
+
+        m10a, m01a = orb.moment_maps_integral(stack)
+        m10b, m01b = moment_maps_pallas(stack, interpret=True)
+        a1 = orb.ic_angle_integral(m10a.reshape(-1), m01a.reshape(-1), base, xy, h, w)
+        a2 = orb.ic_angle_integral(m10b.reshape(-1), m01b.reshape(-1), base, xy, h, w)
+        d = np.abs((np.asarray(a2 - a1) + np.pi) % (2 * np.pi) - np.pi)
+        assert d.max() < 2e-3, d.max()
+
+    def test_vmap_matches_flat(self):
+        from pose_estimation_tpu.ops.pallas_fast import moment_maps_pallas
+        import functools
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(0, 255, (2, 3, 96, 128)), jnp.float32)
+        f = functools.partial(moment_maps_pallas, interpret=True)
+        mv = jax.vmap(f)(x)
+        mf = f(x.reshape(6, 96, 128))
+        sl = np.s_[:, 16:-16, 16:-16]
+        np.testing.assert_allclose(
+            np.asarray(mv[0]).reshape(6, 96, 128)[sl], np.asarray(mf[0])[sl],
+            atol=1e-2)
