@@ -178,12 +178,14 @@ class OrbConfig(NamedTuple):
     # "xla" = roll/min-tree formulation; "pallas" = fused score+NMS kernel
     # (ops/pallas_fast.py), one HBM read + one write per pixel
     fast_backend: str = "xla"
-    # IC-angle moment maps: "integral" = XLA prefix-sum formulation (the
-    # measured-fastest path on this chip); "pallas" = experimental in-VMEM
-    # band kernel (pallas_fast.moment_maps_pallas) — numerically equal but
-    # per-program-overhead-bound on v5e (measured 371 ms vs 14 ms per
-    # 16-plane stack), kept opt-in for future tuning
-    moments_backend: str = "integral"
+    # IC-angle moments: "sparse" = keypoint-sparse gathers on the P/Q
+    # prefix images (2 cumsum passes + [K,124] gathered elements, see
+    # ic_angle_sparse); "integral" = full moment MAPS via prefix sums +
+    # shifted adds (~35 stack-sized HBM passes, ~14 ms measured);
+    # "pallas" = experimental in-VMEM band kernel
+    # (pallas_fast.moment_maps_pallas) — numerically equal but
+    # per-program-overhead-bound on v5e (measured 371 ms), kept opt-in
+    moments_backend: str = "sparse"
 
 
 class OrbFeatures(NamedTuple):
@@ -371,6 +373,58 @@ def ic_angle_integral(
     return jnp.arctan2(jnp.take(m01_flat, idx), jnp.take(m10_flat, idx))
 
 
+# circle geometry shared by all moment formulations: per row offset dy the
+# circular patch covers x in [-r(|dy|), r(|dy|)]
+_DYS = np.arange(-PATCH_R, PATCH_R + 1)
+_RS = np.floor(np.sqrt(PATCH_R**2 - _DYS.astype(np.float64) ** 2)).astype(
+    np.int32
+)
+
+
+def ic_angle_sparse(
+    stack: jnp.ndarray, base: jnp.ndarray, xy: jnp.ndarray
+) -> jnp.ndarray:
+    """IC angles via keypoint-sparse sampling of the P/Q prefix images.
+
+    Same windowed-difference decomposition as `moment_maps_integral` (see
+    its docstring for the math and the precision argument) but WITHOUT
+    materializing the ramp/box/moment maps: only the two prefix images are
+    built (2 cumsum passes over the stack), then each keypoint gathers the
+    4 prefix values (P, Q at the two row-segment ends) for each of its 31
+    circle rows — a [K, 31] x4 gather, ~124 elements/keypoint instead of
+    ~35 stack-sized HBM passes (the dominant front-end cost at 752x480x16
+    planes: ~14 ms measured for the map form vs ~6 ms/M gathered elements).
+
+    stack: [N, H, W] padded plane stack; base: [K] flat plane offsets
+    (plane * H * W); xy: [K, 2] level-local pixel coords. Keypoints within
+    PATCH_R+1 of the plane border get clamped-window garbage (callers keep
+    detections >= EDGE=19 px inside; invalid slots are masked downstream).
+    """
+    h, w = stack.shape[-2], stack.shape[-1]
+    stack = stack - jnp.mean(stack, axis=(-2, -1), keepdims=True)
+    xc = jnp.arange(w, dtype=stack.dtype) - w / 2.0
+    p = jnp.cumsum(stack, axis=-1).reshape(-1)
+    q = jnp.cumsum(stack * xc, axis=-1).reshape(-1)
+
+    cx = jnp.clip(
+        jnp.round(xy[..., 0]).astype(jnp.int32), PATCH_R + 1, w - 1 - PATCH_R
+    )
+    cy = jnp.clip(
+        jnp.round(xy[..., 1]).astype(jnp.int32), PATCH_R, h - 1 - PATCH_R
+    )
+    dys = jnp.asarray(_DYS, jnp.int32)                       # [31]
+    rs = jnp.asarray(_RS, jnp.int32)                         # [31]
+    rows = base[:, None] + (cy[:, None] + dys[None, :]) * w  # [K, 31]
+    hi = rows + cx[:, None] + rs[None, :]
+    lo = rows + cx[:, None] - rs[None, :] - 1
+    box = jnp.take(p, hi) - jnp.take(p, lo)                  # [K, 31]
+    xck = cx.astype(stack.dtype)[:, None] - w / 2.0
+    ramp = (jnp.take(q, hi) - jnp.take(q, lo)) - xck * box
+    m10 = jnp.sum(ramp, axis=1)
+    m01 = jnp.sum(dys.astype(stack.dtype)[None, :] * box, axis=1)
+    return jnp.arctan2(m01, m10)
+
+
 def pyramid_shapes(h: int, w: int, cfg: OrbConfig) -> list[tuple[int, int]]:
     """Static per-level content sizes (level 0 = full resolution)."""
     shapes = [(h, w)]
@@ -466,15 +520,18 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     # (~12 ms/frame on this chip; see moment_maps_integral). The Pallas
     # kernel keeps the whole shifted-add chain in VMEM (the XLA form
     # round-trips it through HBM).
-    if cfg.moments_backend == "pallas":
-        from pose_estimation_tpu.ops.pallas_fast import moment_maps_pallas
-
-        m10, m01 = moment_maps_pallas(stack)
+    if cfg.moments_backend == "sparse":
+        ang = ic_angle_sparse(stack, base_flat, xy_flat)
     else:
-        m10, m01 = moment_maps_integral(stack)
-    ang = ic_angle_integral(
-        m10.reshape(-1), m01.reshape(-1), base_flat, xy_flat, h, w
-    )
+        if cfg.moments_backend == "pallas":
+            from pose_estimation_tpu.ops.pallas_fast import moment_maps_pallas
+
+            m10, m01 = moment_maps_pallas(stack)
+        else:
+            m10, m01 = moment_maps_integral(stack)
+        ang = ic_angle_integral(
+            m10.reshape(-1), m01.reshape(-1), base_flat, xy_flat, h, w
+        )
     blur = gaussian_blur7(stack)
     desc = brief_descriptors_pool(
         blur.reshape(-1), base_flat, xy_flat, ang, h, w

@@ -89,6 +89,42 @@ class TestIntegralMoments:
         # rounding of the descriptor offsets
         assert d.max() < 5e-3, d.max()
 
+    def test_sparse_matches_patch_gather(self):
+        """ic_angle_sparse (keypoint-sparse P/Q gathers) must reproduce the
+        patch-gather angles like the map formulation does — same windowed
+        differences, different summation order."""
+        img = sample_image().astype(np.float32)
+        h, w = img.shape
+        score = fast_mod.fast_score(jnp.asarray(img))
+        kps = fast_mod.select_keypoints(score, 20.0, 7.0, 400, border=31)
+        xy = kps.xy[np.asarray(kps.valid)]
+        st = jnp.asarray(img[None])
+        base = jnp.zeros(xy.shape[0], jnp.int32)
+        a_ref = orb.ic_angle_planes(st.reshape(-1), base, xy, h, w)
+        a_sp = orb.ic_angle_sparse(st, base, xy)
+        d = np.abs((np.asarray(a_sp - a_ref) + np.pi) % (2 * np.pi) - np.pi)
+        assert d.max() < 5e-3, d.max()
+
+    def test_sparse_matches_integral_on_multiplane_stack(self):
+        """Plane indexing: sparse gathers on a multi-plane stack must agree
+        with the per-plane moment maps at every keypoint."""
+        rng = np.random.default_rng(7)
+        h, w = 96, 128
+        st = jnp.asarray(rng.uniform(0, 255, (5, h, w)), jnp.float32)
+        k = 400
+        plane = rng.integers(0, 5, k)
+        xy = np.stack(
+            [rng.uniform(20, w - 20, k), rng.uniform(20, h - 20, k)], -1
+        ).astype(np.float32)
+        base = jnp.asarray(plane * (h * w), jnp.int32)
+        m10, m01 = orb.moment_maps_integral(st)
+        a_map = orb.ic_angle_integral(
+            m10.reshape(-1), m01.reshape(-1), base, jnp.asarray(xy), h, w
+        )
+        a_sp = orb.ic_angle_sparse(st, base, jnp.asarray(xy))
+        d = np.abs((np.asarray(a_sp - a_map) + np.pi) % (2 * np.pi) - np.pi)
+        assert d.max() < 5e-3, d.max()
+
 
 class TestHamming:
     def test_matches_numpy_popcount(self):
