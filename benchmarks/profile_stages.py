@@ -25,6 +25,15 @@ import sys
 STAGES = set(sys.argv[1:])
 
 
+def _scalar_readback(r):
+    # index ON DEVICE and transfer 4 bytes: np.asarray(full_leaf) would pull
+    # the whole (possibly 23 MB) array through the tunnel and dominate the
+    # measurement (observed: 14 ms stages reading as ~190 ms)
+    leaf = jax.tree.leaves(r)[0]
+    idx = (0,) * getattr(leaf, "ndim", 0)
+    return float(np.asarray(leaf[idx] if idx else leaf))
+
+
 def timeit(name, f, *a, n=5):
     g = jax.jit(f)
     if STAGES and name.split("(")[0] not in STAGES:
@@ -32,11 +41,11 @@ def timeit(name, f, *a, n=5):
         return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), r,
                             is_leaf=lambda x: hasattr(x, "shape"))
     r = g(*a)
-    float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+    _scalar_readback(r)
     t0 = time.time()
     for _ in range(n):
         r = g(*a)
-    float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+    _scalar_readback(r)
     dt = (time.time() - t0) / n * 1e3
     print(f"{name}: {dt:.1f} ms", flush=True)
     return r

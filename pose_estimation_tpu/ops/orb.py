@@ -3,8 +3,9 @@
 TPU-native re-design of the description half of the vendored ORB-SLAM2
 extractor (`/root/reference/src/ORBextractor.cc`):
 
-* 8-level x1.2 pyramid (`ComputePyramid` :1107-1132) -> `jax.image.resize`
-  per level with static shapes;
+* 8-level x1.2 pyramid (`ComputePyramid` :1107-1132) -> ONE pair of batched
+  einsums against stacked static bilinear weight matrices (cv::resize
+  INTER_LINEAR semantics, all levels at once; see `_pyramid_mats`);
 * intensity-centroid orientation (`IC_Angle` :77-104) -> batched 31x31 patch
   gather contracted with precomputed circular moment masks (one matmul);
 * 7x7 sigma=2 Gaussian blur (:1086) -> separable depthwise convolution;
@@ -435,6 +436,43 @@ def pyramid_shapes(h: int, w: int, cfg: OrbConfig) -> list[tuple[int, int]]:
     return shapes
 
 
+def _bilinear_rows(n_out: int, n_canvas: int, n_in: int) -> np.ndarray:
+    """[n_canvas, n_in] plain-bilinear resampling weights (cv::resize
+    INTER_LINEAR src mapping: src = (dst + 0.5) * n_in/n_out - 0.5, clamped);
+    rows >= n_out are zero (canvas padding)."""
+    m = np.zeros((n_canvas, n_in), np.float32)
+    r = np.arange(n_out)
+    src = np.clip((r + 0.5) * (n_in / n_out) - 0.5, 0.0, n_in - 1)
+    i0 = np.floor(src).astype(np.int64)
+    t = (src - i0).astype(np.float32)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    np.add.at(m, (r, i0), 1.0 - t)
+    np.add.at(m, (r, i1), t)
+    return m
+
+
+_PYR_MATS: dict = {}
+
+
+def _pyramid_mats(h: int, w: int, cfg: OrbConfig):
+    """([nl-1, H, H] row, [nl-1, W, W] col) stacked per-level bilinear
+    weight matrices for levels 1..nl-1 (level 0 is the input itself)."""
+    key = (h, w, cfg.n_levels, cfg.scale)
+    if key not in _PYR_MATS:
+        shapes = pyramid_shapes(h, w, cfg)
+        ra = np.stack(
+            [_bilinear_rows(lh, h, h) for lh, _ in shapes[1:]]
+        )
+        ca = np.stack(
+            [_bilinear_rows(lw, w, w).T for _, lw in shapes[1:]]
+        )
+        # cache NUMPY, not device arrays: a jnp constant created while a jit
+        # trace is active is a tracer, and caching it leaks across traces
+        _PYR_MATS[key] = (ra, ca)
+    ra, ca = _PYR_MATS[key]
+    return jnp.asarray(ra), jnp.asarray(ca)
+
+
 def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     """Full ORB front-end for a batch of grayscale images [B, H, W].
 
@@ -462,14 +500,20 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     shapes = pyramid_shapes(h, w, cfg)
     nl = cfg.n_levels
 
-    planes = []
-    for lvl in range(nl):
-        lh, lw = shapes[lvl]
-        lv = imgs if lvl == 0 else jax.image.resize(
-            imgs, (b, lh, lw), method="linear"
-        )
-        planes.append(jnp.pad(lv, ((0, 0), (0, h - lh), (0, w - lw))))
-    stack = jnp.concatenate(planes, axis=0)       # [nl*b, H, W]; plane=lvl*b+i
+    # All downsampled levels in TWO batched matmuls: per-level bilinear
+    # resampling is a (sparse, static) row-weight matrix x image x
+    # col-weight matrix product, and stacking the per-level weight matrices
+    # (zero-padded to the canvas size, so the level-content zero padding
+    # falls out for free) turns the 8-level resize chain into one einsum
+    # pair — ~5 top-level HLO ops instead of ~80 on the per-op-dispatch-
+    # bound chip. Plain bilinear (cv::resize INTER_LINEAR semantics, the
+    # reference's ComputePyramid `ORBextractor.cc:1107-1132`), sampled from
+    # level 0 for every level; HIGHEST precision keeps the MXU passes
+    # f32-accurate (bf16 rounding would be ~0.5 intensity units).
+    ra, ca = _pyramid_mats(h, w, cfg)
+    lv = jnp.einsum("lrh,bhw->lbrw", ra, imgs, precision="highest")
+    lv = jnp.einsum("lbrw,lwc->lbrc", lv, ca, precision="highest")
+    stack = jnp.concatenate([imgs[None], lv], axis=0).reshape(nl * b, h, w)
     bounds = [shapes[p // b] for p in range(nl * b)]
 
     if cfg.fast_backend == "pallas":

@@ -105,6 +105,32 @@ class TestIntegralMoments:
         d = np.abs((np.asarray(a_sp - a_ref) + np.pi) % (2 * np.pi) - np.pi)
         assert d.max() < 5e-3, d.max()
 
+    def test_einsum_pyramid_matches_cv2_inter_linear(self):
+        """The stacked-weight-matrix pyramid must equal cv::resize
+        INTER_LINEAR per level (the reference's ComputePyramid resampling),
+        with exact zeros in the canvas padding."""
+        import cv2
+
+        rng = np.random.default_rng(11)
+        h, w = 96, 128
+        cfg = orb.OrbConfig(n_features=200, n_levels=4)
+        imgs = rng.uniform(0, 255, (2, h, w)).astype(np.float32)
+        ra, ca = orb._pyramid_mats(h, w, cfg)
+        lv = jnp.einsum("lrh,bhw->lbrw", ra, jnp.asarray(imgs),
+                        precision="highest")
+        lv = np.asarray(
+            jnp.einsum("lbrw,lwc->lbrc", lv, ca, precision="highest")
+        )
+        shapes = orb.pyramid_shapes(h, w, cfg)
+        for l, (lh, lw) in enumerate(shapes[1:], start=1):
+            for i in range(2):
+                ref = cv2.resize(imgs[i], (lw, lh),
+                                 interpolation=cv2.INTER_LINEAR)
+                np.testing.assert_allclose(
+                    lv[l - 1, i, :lh, :lw], ref, atol=1e-3)
+            assert np.abs(lv[l - 1, :, lh:, :]).max() == 0.0
+            assert np.abs(lv[l - 1, :, :, lw:]).max() == 0.0
+
     def test_sparse_matches_integral_on_multiplane_stack(self):
         """Plane indexing: sparse gathers on a multi-plane stack must agree
         with the per-plane moment maps at every keypoint."""
