@@ -191,6 +191,61 @@ def _topk(x: jnp.ndarray, k: int):
     return jax.lax.top_k(x, k)
 
 
+def select_keypoints_fused(
+    score_stack_src: jnp.ndarray,
+    bounds: list,
+    th_hi: float,
+    th_lo: float,
+    k_max: int,
+    border: int = 19,
+    k_per_cell: int = 4,
+    interpret: bool = False,
+) -> Keypoints:
+    """`select_keypoints_batched` with the FAST score + NMS + gating +
+    per-cell top-k all fused into one Pallas kernel
+    (`pallas_fast.fast_select_pallas`); input is the IMAGE plane stack, not
+    a score map. Only the plane-level top-k sort and the keypoint-sparse
+    subpixel refinement remain in XLA. Selection results are identical to
+    the unfused path (same gates, same raster tie-breaks)."""
+    from pose_estimation_tpu.ops.pallas_fast import fast_select_pallas
+
+    n, h, w = score_stack_src.shape
+    neg = jnp.float32(-1e9)
+    raw, flat_s, flat_code = fast_select_pallas(
+        score_stack_src, bounds, th_hi, th_lo, border, k_per_cell, interpret
+    )
+    k_max = min(k_max, flat_s.shape[1])
+    g_s, g_i = _topk(flat_s, k_max)
+    gcode = jnp.take_along_axis(flat_code, g_i, axis=1)
+    gy = gcode // w
+    gx = gcode % w
+
+    sub_src = raw.reshape(n, h * w)
+
+    def sc(yy, xx):
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        return jnp.take_along_axis(sub_src, yy * w + xx, axis=1)
+
+    s0 = sc(gy, gx)
+    sl = sc(gy, gx - 1)
+    sr = sc(gy, gx + 1)
+    su = sc(gy - 1, gx)
+    sd = sc(gy + 1, gx)
+
+    def para(sm, s0, sp):
+        den = sm - 2.0 * s0 + sp
+        off = jnp.where(jnp.abs(den) > 1e-6, 0.5 * (sm - sp) / den, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx = para(sl, s0, sr)
+    dy = para(su, s0, sd)
+    xy = jnp.stack(
+        [gx.astype(jnp.float32) + dx, gy.astype(jnp.float32) + dy], axis=-1
+    )
+    return Keypoints(xy=xy, score=g_s, valid=g_s > neg / 2)
+
+
 def _topk_iter(x: jnp.ndarray, k: int):
     """top-k along the last axis via k iterative (max, mask) passes.
 

@@ -516,7 +516,14 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     stack = jnp.concatenate([imgs[None], lv], axis=0).reshape(nl * b, h, w)
     bounds = [shapes[p // b] for p in range(nl * b)]
 
-    if cfg.fast_backend == "pallas":
+    if cfg.fast_backend == "pallas" and w % 16 == 0 and cfg.cell == 16:
+        # fully fused: FAST score + NMS + gates + per-cell top-k in ONE
+        # kernel; only the plane top-k sort + subpixel sampling stay in XLA
+        kps = fast_mod.select_keypoints_fused(
+            stack, bounds, cfg.th_hi, cfg.th_lo, budgets[0],
+            border=EDGE, k_per_cell=cfg.k_per_cell,
+        )
+    elif cfg.fast_backend == "pallas":
         from pose_estimation_tpu.ops.pallas_fast import fast_score_nms_pallas
 
         score_raw, score_masked = fast_score_nms_pallas(stack)

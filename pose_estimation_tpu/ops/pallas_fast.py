@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from pose_estimation_tpu.ops.fast import CIRCLE
 
@@ -130,6 +131,209 @@ def fast_score_nms_pallas(
     if squeeze:
         raw, out = raw[0], out[0]
     return raw, out
+
+
+# --------------------------------------------------------------------------- #
+# fused FAST + NMS + per-cell top-k selection
+# --------------------------------------------------------------------------- #
+
+_NEG = -1e9  # matches fast.select_keypoints_batched's invalid-score sentinel
+
+
+def _seg_all(x, op, seg: int):
+    """Rotation-based ALLREDUCE of `op` within aligned lane segments of
+    `seg` (power of two; x.shape[1] % seg == 0). After log2(seg) steps every
+    lane holds the reduction over its segment. All rolls are < seg lanes —
+    cheap in Mosaic (the large-shift rolls of the cumsum formulation are
+    what made moment_maps_pallas slow)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % seg
+    s = 1
+    while s < seg:
+        fwd = jnp.roll(x, -s, axis=1)          # lane l <- l + s
+        bwd = jnp.roll(x, seg - s, axis=1)     # lane l <- l + s - seg
+        nb = jnp.where(lane < seg - s, fwd, bwd)
+        x = op(x, nb)
+        s *= 2
+    return x
+
+
+def _select_kernel(
+    dims_ref, img_ref, raw_ref, val_ref, pos_ref, *,
+    band: int, width: int, n_bands: int,
+    th_hi: float, th_lo: float, border: int, kpc: int,
+):
+    """One (plane, 16-row band) program: FAST-9/16 score + 3x3 NMS + border/
+    threshold gating + per-16x16-cell top-`kpc` selection, all in VMEM.
+
+    Replaces the masked-score-map write + the host-side cell reshape +
+    `kpc` argmax/mask passes of `fast.select_keypoints_batched` (~12
+    full-stack HBM passes, the largest measured chunk of the extraction
+    step). Outputs: the raw score band (subpixel refinement samples it
+    later, keypoint-sparse) and per-cell top-k (score, flat-position) with
+    every lane of a cell's segment carrying that cell's value (the host
+    wrapper strided-slices lane 0 of each segment).
+
+    Selection semantics are exactly `select_keypoints_batched`'s: a cell
+    with max > th_hi keeps only scores > th_hi, else scores > th_lo; ties
+    break to the first element in within-cell row-major order.
+
+    dims_ref (SMEM, scalar-prefetched): [2, n] per-plane content (lh, lw).
+    """
+    g = pl.program_id(0)
+    i = g % n_bands
+    plane = g // n_bands
+    lh = dims_ref[0, plane]
+    lw = dims_ref[1, plane]
+
+    tile = img_ref[0, pl.ds(i * band, band + 2 * HALO), :]  # [band+8, W]
+
+    def shift(arr, dy, dx):
+        rolled = arr if dx == 0 else jnp.roll(arr, -dx, axis=1)
+        s = HALO - 1 + dy
+        return rolled[s : s + band + 2]
+
+    center = tile[HALO - 1 : HALO - 1 + band + 2]
+    diffs = [shift(tile, dy, dx) - center for dy, dx in CIRCLE]
+
+    def arc_min9(ds):
+        m3 = [jnp.minimum(jnp.minimum(ds[i], ds[(i + 1) % 16]), ds[(i + 2) % 16])
+              for i in range(16)]
+        m9 = [jnp.minimum(jnp.minimum(m3[i], m3[(i + 3) % 16]), m3[(i + 6) % 16])
+              for i in range(16)]
+        out = m9[0]
+        for i in range(1, 16):
+            out = jnp.maximum(out, m9[i])
+        return out
+
+    score = jnp.maximum(arc_min9(diffs), arc_min9([-d for d in diffs]))
+
+    def nshift(arr, dy, dx):
+        rolled = arr if dx == 0 else jnp.roll(arr, -dx, axis=1)
+        return rolled[1 + dy : 1 + dy + band]
+
+    c = score[1 : 1 + band]
+    keep = jnp.ones_like(c, dtype=jnp.bool_)
+    strictly_before = True
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                strictly_before = False
+                continue
+            nb = nshift(score, dy, dx)
+            keep = keep & ((c > nb) if strictly_before else (c >= nb))
+
+    raw_ref[0, :, :] = c
+
+    # ---- gating: NMS survivors, positive score, inside the per-plane
+    # detection border (content sizes from SMEM)
+    lane = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    row_g = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0) + i * band
+    inb = (
+        (row_g >= border) & (row_g < lh - border)
+        & (lane >= border) & (lane < lw - border)
+    )
+    neg = jnp.float32(_NEG)
+    s = jnp.where(keep & (c > 0.0) & inb, c, neg)
+
+    # ---- cell eligibility (th_hi cells keep strong corners only)
+    rowmax = jnp.max(s, axis=0, keepdims=True)
+    cellmax = _seg_all(rowmax, jnp.maximum, band)      # [1, W] bcast
+    # select the THRESHOLD (f32), not boolean vectors: Mosaic cannot lower
+    # an i1 select_n (i8->i1 truncation error)
+    thr = jnp.where(cellmax > th_hi, jnp.float32(th_hi), jnp.float32(th_lo))
+    cand = jnp.where(s > thr, s, neg)
+
+    # ---- top-kpc per cell, first-index tie-break via flat-position min
+    code = (row_g * width + lane).astype(jnp.float32)       # < 2^24, exact
+    big = jnp.float32(3e9)
+    for k in range(kpc):
+        rmax = jnp.max(cand, axis=0, keepdims=True)
+        cmax = _seg_all(rmax, jnp.maximum, band)        # [1, W]
+        is_max = cand == cmax
+        pcode = jnp.where(is_max, code, big)
+        rmin = jnp.min(pcode, axis=0, keepdims=True)
+        cmin = _seg_all(rmin, jnp.minimum, band)        # [1, W]
+        val_ref[0, 0, k, :] = cmax[0]
+        pos_ref[0, 0, k, :] = cmin[0]
+        cand = jnp.where(code == cmin, neg, cand)
+
+
+def fast_select_pallas(
+    stack: jnp.ndarray,
+    bounds: list,
+    th_hi: float,
+    th_lo: float,
+    border: int = 19,
+    k_per_cell: int = 4,
+    interpret: bool = False,
+):
+    """Fused FAST score + NMS + per-cell top-k for a plane stack [N, H, W].
+
+    Returns (raw_score [N, H, W], vals [N, n_cells_total, kpc], codes
+    [N, n_cells_total, kpc] int32 flat y*W+x positions); invalid slots have
+    vals == -1e9. Requires W % 16 == 0 (the lane-segment allreduce);
+    callers fall back to the unfused path otherwise."""
+    n, h, w = stack.shape
+    band = 16                      # == selection cell size
+    assert w % band == 0, "fused select needs W % 16 == 0"
+    hp = -(-h // band) * band
+    img_p = jnp.pad(
+        stack, ((0, 0), (HALO, hp - h + HALO), (0, 0)), mode="edge"
+    )
+    n_bands = hp // band
+    ncx = w // band
+
+    dims = jnp.asarray(
+        np.array([[b[0] for b in bounds], [b[1] for b in bounds]]), jnp.int32
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n * n_bands,),
+        in_specs=[
+            pl.BlockSpec(
+                (1,) + img_p.shape[1:], lambda g, d: (g // n_bands, 0, 0)
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, band, w), lambda g, d: (g // n_bands, g % n_bands, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, k_per_cell, w),
+                lambda g, d: (g // n_bands, g % n_bands, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, k_per_cell, w),
+                lambda g, d: (g // n_bands, g % n_bands, 0, 0),
+            ),
+        ),
+    )
+    raw, vals, codes = pl.pallas_call(
+        functools.partial(
+            _select_kernel, band=band, width=w, n_bands=n_bands,
+            th_hi=float(th_hi), th_lo=float(th_lo), border=int(border),
+            kpc=int(k_per_cell),
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, hp, w), stack.dtype),
+            jax.ShapeDtypeStruct((n, n_bands, k_per_cell, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, n_bands, k_per_cell, w), jnp.float32),
+        ),
+        interpret=interpret,
+    )(dims, img_p)
+    # lane 0 of each 16-lane segment carries its cell's (value, position)
+    vals = vals[..., ::band].transpose(0, 1, 3, 2)          # [n, nb, ncx, kpc]
+    codes = codes[..., ::band].transpose(0, 1, 3, 2)
+    vals = vals.reshape(n, n_bands * ncx * k_per_cell)
+    # empty slots carry the 3e9 tie-break sentinel — clip BEFORE the int32
+    # cast (float->int overflow is unspecified); they are score-invalid and
+    # masked downstream either way
+    codes = jnp.clip(
+        codes.reshape(n, n_bands * ncx * k_per_cell), 0.0, float(h * w - 1)
+    ).astype(jnp.int32)
+    return raw[:, :h], vals, codes
 
 
 # --------------------------------------------------------------------------- #

@@ -59,6 +59,38 @@ class TestPallasFast:
             )
 
 
+class TestFusedSelect:
+    def test_matches_unfused_selection_exactly(self):
+        """select_keypoints_fused (FAST+NMS+gates+per-cell top-k in one
+        kernel) must reproduce the unfused pipeline bit-exactly: same valid
+        mask, scores, and subpixel coordinates — gates, raster tie-breaks
+        and flat ordering all line up."""
+        from pose_estimation_tpu.ops import fast as fast_mod
+        from pose_estimation_tpu.ops.pallas_fast import fast_score_nms_pallas
+
+        rng = np.random.default_rng(5)
+        h, w = 96, 128
+        n = 6
+        stack = jnp.asarray(rng.uniform(0, 255, (n, h, w)), jnp.float32)
+        bounds = [(h, w)] * 2 + [(80, 112)] * 2 + [(64, 96)] * 2
+        th_hi, th_lo, kmax, kpc = 20.0, 7.0, 100, 4
+
+        raw, masked = fast_score_nms_pallas(stack, interpret=True)
+        ref = fast_mod.select_keypoints_batched(
+            masked, bounds, th_hi, th_lo, kmax, cell=16, border=19,
+            k_per_cell=kpc, pre_nms=True, raw_score=raw)
+        got = fast_mod.select_keypoints_fused(
+            stack, bounds, th_hi, th_lo, kmax, border=19, k_per_cell=kpc,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+        v = np.asarray(ref.valid)
+        assert v.sum() > 100  # the fixture must actually exercise selection
+        np.testing.assert_array_equal(
+            np.asarray(ref.score)[v], np.asarray(got.score)[v])
+        np.testing.assert_array_equal(
+            np.asarray(ref.xy)[v], np.asarray(got.xy)[v])
+
+
 class TestPallasMoments:
     def test_angles_match_integral_formulation(self):
         """moment_maps_pallas == orb.moment_maps_integral at the ANGLE level
