@@ -279,6 +279,10 @@ def brief_descriptors_pool(
     row = jnp.round(px * sa + py * ca).astype(jnp.int32)
     xx = jnp.clip(cx + col, 0, w - 1)                            # [K,P]
     yy = jnp.clip(cy + row, 0, h - 1)
+    # NOTE: a bf16 view of the blur source makes STANDALONE gathers ~30%
+    # cheaper, but measured zero in-step win (the gather overlaps other
+    # work) while its rounding flips near-tie bits and destabilizes the
+    # e2e accuracy gates — keep the f32 source.
     vals = jnp.take(blur_flat, base[:, None] + yy * w + xx, axis=0)
     diff = vals @ jnp.asarray(_DIFF)                             # [K,256]
     return matching.pack_descriptors(diff > 0)
@@ -404,6 +408,11 @@ def ic_angle_sparse(
     h, w = stack.shape[-2], stack.shape[-1]
     stack = stack - jnp.mean(stack, axis=(-2, -1), keepdims=True)
     xc = jnp.arange(w, dtype=stack.dtype) - w / 2.0
+    # prefix sums via jnp.cumsum, NOT a triangular MXU matmul: sequential
+    # partial sums share rounding error so the windowed DIFFERENCES cancel
+    # it; HIGHEST-precision matmul dots are ~10% faster but their
+    # uncorrelated error pushes worst-case angles past the 5e-3 rad gate
+    # (measured 6.2e-3 vs the patch-gather oracle)
     p = jnp.cumsum(stack, axis=-1).reshape(-1)
     q = jnp.cumsum(stack * xc, axis=-1).reshape(-1)
 
@@ -418,9 +427,12 @@ def ic_angle_sparse(
     rows = base[:, None] + (cy[:, None] + dys[None, :]) * w  # [K, 31]
     hi = rows + cx[:, None] + rs[None, :]
     lo = rows + cx[:, None] - rs[None, :] - 1
-    box = jnp.take(p, hi) - jnp.take(p, lo)                  # [K, 31]
+    hl = jnp.concatenate([hi, lo], axis=1)                   # [K, 62]
+    pv = jnp.take(p, hl)                                     # 2 gathers, not 4
+    qv = jnp.take(q, hl)
+    box = pv[:, :31] - pv[:, 31:]                            # [K, 31]
     xck = cx.astype(stack.dtype)[:, None] - w / 2.0
-    ramp = (jnp.take(q, hi) - jnp.take(q, lo)) - xck * box
+    ramp = (qv[:, :31] - qv[:, 31:]) - xck * box
     m10 = jnp.sum(ramp, axis=1)
     m01 = jnp.sum(dys.astype(stack.dtype)[None, :] * box, axis=1)
     return jnp.arctan2(m01, m10)

@@ -69,21 +69,28 @@ class TestEndToEnd:
         """Keyframe full BA (Schur landmark refinement) must beat the
         reference-style landmarks-fixed pipeline on trajectory accuracy —
         the in-pipeline proof the machinery earns its place (the reference
-        carries it only commented out, `optimizer.cpp:122-133`). Measured on
-        this sim/seed: ~22% -> ~7% ATE/path at 6 s with IMU noise."""
+        carries it only commented out, `optimizer.cpp:122-133`).
+
+        Sparse landmarks (60) make triangulation error the dominant term so
+        landmark refinement has signal to recover; with dense landmarks the
+        round-2 front-end (bilinear pyramid + sparse IC angles) already
+        tracks well enough that both arms land at noise-level ATE and the
+        comparison is a coin flip. Measured on this sim/seed:
+        ~5.2% -> ~2.8% ATE/path at 6 s with IMU noise."""
         ates = {}
         for fba in (False, True):
             cfg = sim_config(
                 keyframe_rotation=0.1, keyframe_translation=0.15,
                 full_ba_keyframes=fba,
             )
-            sim = StereoInertialSim(cfg, n_landmarks=150, seed=0)
+            sim = StereoInertialSim(cfg, n_landmarks=60, seed=0)
             slam = VisualInertialSLAM(cfg, reinit_on_bias_corruption=False)
-            gt = sim.run(slam, duration=4.0, imu_noise=2.4e-3)
+            gt = sim.run(slam, duration=6.0, imu_noise=2.4e-3)
             assert slam.state == State.OK
             path = np.linalg.norm(np.diff(gt[:, 1:], axis=0), axis=1).sum()
             ates[fba] = ate_rmse(slam.trajectory, gt) / path
         assert ates[True] < ates[False], ates
+        assert ates[True] < 0.05, ates
 
     def test_with_imu_noise(self):
         """EuRoC-class IMU noise must not degrade tracking (whitened
