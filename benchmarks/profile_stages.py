@@ -1,4 +1,9 @@
 """Stage-level TPU profile of ok_step: where do 295 ms go?"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import time, functools
 import jax, jax.numpy as jnp, numpy as np
 

@@ -132,13 +132,15 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
         gravity=jnp.asarray(cfg.gravity, dtype),
         imu=pre.ImuParams.from_config(cfg, dtype),
     )
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() in ("tpu", "axon")
     fast_backend = cfg.fast_backend
     if fast_backend == "auto":
-        import jax as _jax
-
-        fast_backend = (
-            "pallas" if _jax.default_backend() in ("tpu", "axon") else "xla"
-        )
+        fast_backend = "pallas" if on_tpu else "xla"
+    sample_backend = cfg.sample_backend
+    if sample_backend == "auto":
+        sample_backend = "pallas" if on_tpu else "xla"
     static = VIOStatic(
         orb=orb.OrbConfig(
             n_features=cfg.num_features,
@@ -147,6 +149,7 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
             th_hi=float(cfg.ini_th_fast),
             th_lo=float(cfg.min_th_fast),
             fast_backend=fast_backend,
+            sample_backend=sample_backend,
         ),
         match_ratio=cfg.match_ratio,
         min_match_dist=cfg.min_match_dist,

@@ -187,6 +187,10 @@ class OrbConfig(NamedTuple):
     # (pallas_fast.moment_maps_pallas) — numerically equal but
     # per-program-overhead-bound on v5e (measured 371 ms), kept opt-in
     moments_backend: str = "sparse"
+    # descriptor sampling: "xla" = moments_backend IC angle + full-stack
+    # blur + pool-gather BRIEF; "pallas"/"pallas_interpret" = the fused
+    # per-keypoint patch kernel (ops/pallas_sample.py) replacing all three
+    sample_backend: str = "xla"
 
 
 class OrbFeatures(NamedTuple):
@@ -464,6 +468,21 @@ def _bilinear_rows(n_out: int, n_canvas: int, n_in: int) -> np.ndarray:
 
 
 _PYR_MATS: dict = {}
+_SAMPLERS: dict = {}
+
+
+def _pool_sampler(interpret: bool):
+    """Cached batchable fused sampler (see pallas_sample.py); caching keeps
+    one custom_vmap instance per mode so jit caches stay warm."""
+    if interpret not in _SAMPLERS:
+        from pose_estimation_tpu.ops.pallas_sample import (
+            make_batchable_sampler,
+        )
+
+        _SAMPLERS[interpret] = make_batchable_sampler(
+            POOL_POINTS.astype(np.float32), t_chunk=32, interpret=interpret
+        )
+    return _SAMPLERS[interpret]
 
 
 def _pyramid_mats(h: int, w: int, cfg: OrbConfig):
@@ -578,27 +597,77 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
 
     xy_flat = xy.reshape(b * k_tot, 2)
     base_flat = base_all.reshape(b * k_tot)
-    # IC angle from integral-image moment maps: prefix sums + shifted adds
-    # + two K-element gathers, instead of a [K, 961] patch gather
-    # (~12 ms/frame on this chip; see moment_maps_integral). The Pallas
-    # kernel keeps the whole shifted-add chain in VMEM (the XLA form
-    # round-trips it through HBM).
-    if cfg.moments_backend == "sparse":
-        ang = ic_angle_sparse(stack, base_flat, xy_flat)
-    else:
-        if cfg.moments_backend == "pallas":
-            from pose_estimation_tpu.ops.pallas_fast import moment_maps_pallas
-
-            m10, m01 = moment_maps_pallas(stack)
-        else:
-            m10, m01 = moment_maps_integral(stack)
-        ang = ic_angle_integral(
-            m10.reshape(-1), m01.reshape(-1), base_flat, xy_flat, h, w
+    if cfg.sample_backend in ("pallas", "pallas_interpret"):
+        # one fused per-keypoint kernel for IC moments + blur + rotated
+        # pool sampling (ops/pallas_sample.py). The kernel's chunks must be
+        # plane-uniform (its grid keeps one plane VMEM-resident per chunk),
+        # so each (level, image) block — static slices of the level-major
+        # layout — is padded to the chunk size, and results sliced back.
+        t_chunk = 32
+        pads = [-(-budgets[l] // t_chunk) * t_chunk for l in range(nl)]
+        xy_pad = jnp.concatenate(
+            [
+                jnp.pad(xy_l[l], ((0, 0), (0, pads[l] - budgets[l]), (0, 0)))
+                for l in range(nl)
+            ],
+            axis=1,
+        )                                                  # [b, Kp, 2]
+        kp_tot = sum(pads)
+        plane_np = np.concatenate(
+            [
+                np.broadcast_to(
+                    (l * b + np.arange(b))[:, None], (b, pads[l])
+                )
+                for l in range(nl)
+            ],
+            axis=1,
+        ).astype(np.int32)                                 # [b, Kp]
+        sampler = _pool_sampler(cfg.sample_backend == "pallas_interpret")
+        vals, m10s, m01s = sampler(
+            stack,
+            jnp.asarray(plane_np.reshape(-1)),
+            xy_pad.reshape(b * kp_tot, 2),
         )
-    blur = gaussian_blur7(stack)
-    desc = brief_descriptors_pool(
-        blur.reshape(-1), base_flat, xy_flat, ang, h, w
-    )
+        packed = jnp.concatenate(
+            [vals, m10s[:, None], m01s[:, None]], axis=1
+        ).reshape(b, kp_tot, -1)
+        offs = np.concatenate([[0], np.cumsum(pads)])
+        packed = jnp.concatenate(
+            [packed[:, offs[l] : offs[l] + budgets[l]] for l in range(nl)],
+            axis=1,
+        )                                                  # [b, K_tot, P+2]
+        npool = POOL_POINTS.shape[0]
+        ang = jnp.arctan2(
+            packed[..., npool + 1], packed[..., npool]
+        ).reshape(-1)
+        diff = packed[..., :npool].reshape(b * k_tot, npool) @ jnp.asarray(
+            _DIFF
+        )
+        desc = matching.pack_descriptors(diff > 0)
+    else:
+        # IC angle from integral-image moment maps: prefix sums + shifted
+        # adds + two K-element gathers, instead of a [K, 961] patch gather
+        # (~12 ms/frame on this chip; see moment_maps_integral). The Pallas
+        # kernel keeps the whole shifted-add chain in VMEM (the XLA form
+        # round-trips it through HBM).
+        if cfg.moments_backend == "sparse":
+            ang = ic_angle_sparse(stack, base_flat, xy_flat)
+        else:
+            if cfg.moments_backend == "pallas":
+                from pose_estimation_tpu.ops.pallas_fast import (
+                    moment_maps_pallas,
+                )
+
+                m10, m01 = moment_maps_pallas(stack)
+            else:
+                m10, m01 = moment_maps_integral(stack)
+            ang = ic_angle_integral(
+                m10.reshape(-1), m01.reshape(-1), base_flat, xy_flat, h, w
+            )
+        blur = gaussian_blur7(stack)
+        desc = brief_descriptors_pool(
+            blur.reshape(-1), base_flat, xy_flat, ang, h, w
+        )
     return OrbFeatures(
         xy=xy * scale_all[..., None],
         angle=ang.reshape(b, k_tot),

@@ -204,6 +204,11 @@ class VIOConfig:
     # pixel, no min-tree temp blowup at batch scale) and to the XLA
     # formulation elsewhere (CPU tests). "xla"/"pallas" force a choice.
     fast_backend: str = "auto"
+    # descriptor sampling backend: "auto" resolves to the fused Pallas
+    # per-keypoint patch kernel on TPU (in-VMEM blur + IC moments + rotated
+    # pool sampling; replaces the gather-bound angle/blur/BRIEF stages) and
+    # to the XLA formulation elsewhere. "xla"/"pallas" force a choice.
+    sample_backend: str = "auto"
 
     @property
     def profile(self) -> DatasetProfile:

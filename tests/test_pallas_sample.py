@@ -1,0 +1,158 @@
+"""Fused per-keypoint sampling kernel (pallas_sample) vs the XLA path.
+
+Interpret mode on CPU; the kernel runs compiled on TPU behind
+`OrbConfig.sample_backend`.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose_estimation_tpu.ops import matching, orb
+from pose_estimation_tpu.ops.brief_pattern import POOL_POINTS
+from pose_estimation_tpu.ops.pallas_sample import sample_patches_pallas
+
+
+def _mk_stack(n, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, (n, h, w)).astype(np.float32)
+    # smooth a little so moments/angles are stable
+    base = (base + np.roll(base, 1, 1) + np.roll(base, 1, 2)) / 3.0
+    return jnp.asarray(base), rng
+
+
+class TestSampleKernel:
+    def test_matches_xla_components(self):
+        n, h, w = 4, 96, 128
+        stack, rng = _mk_stack(n, h, w)
+        t = 8
+        k = 64
+        plane = np.repeat(np.arange(n), k // n).astype(np.int32)
+        xy = np.stack(
+            [rng.uniform(20, w - 21, k), rng.uniform(20, h - 21, k)], -1
+        ).astype(np.float32)
+
+        vals, m10, m01 = sample_patches_pallas(
+            stack, jnp.asarray(plane), jnp.asarray(xy),
+            POOL_POINTS.astype(np.float32), t_chunk=t, interpret=True,
+        )
+        # angle oracle: direct patch-gather IC angle
+        base = jnp.asarray(plane) * (h * w)
+        ang_o = orb.ic_angle_planes(
+            stack.reshape(-1), base, jnp.asarray(xy), h, w
+        )
+        ang_k = np.arctan2(np.asarray(m01), np.asarray(m10))
+        d = np.angle(np.exp(1j * (ang_k - np.asarray(ang_o))))
+        assert np.abs(d).max() < 5e-3
+
+        # value oracle: blurred image sampled at the kernel's own rotation
+        # (isolates the sampling machinery from angle rounding noise)
+        blur = np.asarray(orb.gaussian_blur7(stack))
+        r = np.sqrt(np.asarray(m10) ** 2 + np.asarray(m01) ** 2)
+        ca = (np.asarray(m10) / np.maximum(r, 1e-12))[:, None]
+        sa = (np.asarray(m01) / np.maximum(r, 1e-12))[:, None]
+        px = POOL_POINTS[None, :, 0].astype(np.float32)
+        py = POOL_POINTS[None, :, 1].astype(np.float32)
+        col = np.round(px * ca - py * sa).astype(np.int32)
+        row = np.round(px * sa + py * ca).astype(np.int32)
+        cx = np.round(xy[:, 0]).astype(np.int32)[:, None]
+        cy = np.round(xy[:, 1]).astype(np.int32)[:, None]
+        vo = blur[
+            plane[:, None],
+            np.clip(cy + row, 0, h - 1),
+            np.clip(cx + col, 0, w - 1),
+        ]
+        np.testing.assert_allclose(np.asarray(vals), vo, atol=1e-3)
+
+    def test_border_keypoints_match_canvas_blur(self):
+        """Keypoints ON the 19px detection margin: the patch runs 2px past
+        the canvas; the reflect-101 pad must reproduce gaussian_blur7's
+        border values."""
+        n, h, w = 2, 80, 96
+        stack, rng = _mk_stack(n, h, w, seed=3)
+        t = 4
+        pts = [(19.0, 19.0), (w - 20.0, h - 20.0), (19.0, h - 20.0),
+               (w - 20.0, 19.0)]
+        xy = np.asarray(pts * 2, np.float32)
+        plane = np.repeat(np.arange(2), 4).astype(np.int32)
+        vals, m10, m01 = sample_patches_pallas(
+            stack, jnp.asarray(plane), jnp.asarray(xy),
+            POOL_POINTS.astype(np.float32), t_chunk=t, interpret=True,
+        )
+        blur = np.asarray(orb.gaussian_blur7(stack))
+        r = np.sqrt(np.asarray(m10) ** 2 + np.asarray(m01) ** 2)
+        ca = (np.asarray(m10) / np.maximum(r, 1e-12))[:, None]
+        sa = (np.asarray(m01) / np.maximum(r, 1e-12))[:, None]
+        px = POOL_POINTS[None, :, 0].astype(np.float32)
+        py = POOL_POINTS[None, :, 1].astype(np.float32)
+        col = np.round(px * ca - py * sa).astype(np.int32)
+        row = np.round(px * sa + py * ca).astype(np.int32)
+        cx = np.round(xy[:, 0]).astype(np.int32)[:, None]
+        cy = np.round(xy[:, 1]).astype(np.int32)[:, None]
+        vo = blur[
+            plane[:, None],
+            np.clip(cy + row, 0, h - 1),
+            np.clip(cx + col, 0, w - 1),
+        ]
+        np.testing.assert_allclose(np.asarray(vals), vo, atol=1e-3)
+
+    def test_extract_batch_end_to_end_parity(self):
+        """extract_batch(sample_backend=pallas_interpret) == the XLA path:
+        same keypoints, angles within rounding noise, and (away from
+        rounding ties) identical descriptor bits."""
+        rng = np.random.default_rng(7)
+        h, w = 120, 160
+        imgs = jnp.asarray(rng.uniform(0, 255, (2, h, w)), jnp.float32)
+        cfg_x = orb.OrbConfig(
+            n_features=64, n_levels=3, sample_backend="xla"
+        )
+        cfg_p = cfg_x._replace(sample_backend="pallas_interpret")
+        fx = orb.extract_batch(imgs, cfg_x)
+        fp = orb.extract_batch(imgs, cfg_p)
+        np.testing.assert_array_equal(np.asarray(fx.valid), np.asarray(fp.valid))
+        np.testing.assert_allclose(
+            np.asarray(fx.xy), np.asarray(fp.xy), atol=1e-5
+        )
+        v = np.asarray(fx.valid)
+        da = np.angle(np.exp(1j * (np.asarray(fx.angle) - np.asarray(fp.angle))))
+        assert np.abs(da[v]).max() < 5e-3
+        bits_x = np.asarray(fx.desc)[v]
+        bits_p = np.asarray(fp.desc)[v]
+        mismatch = (bits_x != bits_p).mean()
+        # angle-rounding ties may flip a handful of sample positions;
+        # anything beyond a fraction of a percent means a real bug
+        assert mismatch < 5e-3, mismatch
+
+    def test_vmap_flatten_rule(self):
+        """vmapped sampler == per-batch loop (custom_vmap flattens into the
+        plane axis)."""
+        from pose_estimation_tpu.ops.pallas_sample import (
+            make_batchable_sampler,
+        )
+
+        n, h, w = 2, 64, 96
+        bsz = 3
+        rng = np.random.default_rng(11)
+        stacks = jnp.asarray(
+            rng.uniform(0, 255, (bsz, n, h, w)), jnp.float32
+        )
+        k = 16
+        plane = jnp.asarray(
+            np.repeat(np.arange(n), k // n).astype(np.int32)
+        )
+        xys = jnp.asarray(
+            np.stack(
+                [rng.uniform(20, w - 21, (bsz, k)),
+                 rng.uniform(20, h - 21, (bsz, k))], -1
+            ), jnp.float32
+        )
+        sampler = make_batchable_sampler(
+            POOL_POINTS.astype(np.float32), t_chunk=8, interpret=True
+        )
+        vb, m10b, m01b = jax.vmap(sampler, in_axes=(0, None, 0))(
+            stacks, plane, xys
+        )
+        for i in range(bsz):
+            v, a, b = sampler(stacks[i], plane, xys[i])
+            np.testing.assert_allclose(np.asarray(vb[i]), np.asarray(v), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(m10b[i]), np.asarray(a), rtol=1e-6)
