@@ -107,6 +107,23 @@ flat_imgs = imgs.reshape(B * 2, h, w)
 stack = timeit("x_stack", build_stack, flat_imgs)
 bounds = [shapes[p // (B * 2)] for p in range(nl * B * 2)]
 
+# the real TPU default path: FAST+NMS+gates+cell-top-k in one kernel
+# (x_fselk = kernel only; x_fsel = + plane top-k sort + subpixel, the
+# whole selection as extract_batch runs it)
+timeit(
+    "x_fselk",
+    lambda s: __import__(
+        "pose_estimation_tpu.ops.pallas_fast", fromlist=["x"]
+    ).fast_select_pallas(s, bounds, ocfg.th_hi, ocfg.th_lo, orb.EDGE,
+                         ocfg.k_per_cell),
+    stack)
+timeit(
+    "x_fsel",
+    lambda s: fast_mod.select_keypoints_fused(
+        s, bounds, ocfg.th_hi, ocfg.th_lo, budgets[0],
+        border=orb.EDGE, k_per_cell=ocfg.k_per_cell),
+    stack)
+
 if ocfg.fast_backend == "pallas":
     from pose_estimation_tpu.ops.pallas_fast import fast_score_nms_pallas
 
@@ -156,6 +173,18 @@ timeit(
     lambda bl, b, p, a: orb.brief_descriptors_pool(
         bl.reshape(-1), b, p, a, h, w),
     blur, base_flat, xy_flat, ang)
+
+# fused Pallas sampler over the same flattened stack (chunk-uniform planes:
+# level-major sorted ids, the layout extract_batch feeds it); pad K to the
+# chunk size like extract_batch does per level block
+kk32 = -(-kk // 32) * 32
+plane_sorted = jnp.asarray(
+    np.sort(rngl.integers(0, nplanes, kk32)).astype(np.int32))
+xy_pad32 = jnp.pad(xy_flat, ((0, kk32 - kk), (0, 0)), constant_values=30.0)
+timeit(
+    "x_sample",
+    lambda s, p, x: orb._pool_sampler(False)(s, p, x),
+    stack, plane_sorted, xy_pad32)
 fl = jax.tree.map(lambda a: a[:, 0], feats)
 fr = jax.tree.map(lambda a: a[:, 1], feats)
 keys = jax.random.split(jax.random.PRNGKey(0), B)

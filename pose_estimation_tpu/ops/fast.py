@@ -200,19 +200,23 @@ def select_keypoints_fused(
     border: int = 19,
     k_per_cell: int = 4,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> Keypoints:
     """`select_keypoints_batched` with the FAST score + NMS + gating +
     per-cell top-k all fused into one Pallas kernel
     (`pallas_fast.fast_select_pallas`); input is the IMAGE plane stack, not
     a score map. Only the plane-level top-k sort and the keypoint-sparse
     subpixel refinement remain in XLA. Selection results are identical to
-    the unfused path (same gates, same raster tie-breaks)."""
+    the unfused path (same gates, same raster tie-breaks); with
+    compute_dtype=bfloat16 that equality is exact on integer-valued planes
+    and holds up to <= 0.5-intensity score rounding on fractional ones."""
     from pose_estimation_tpu.ops.pallas_fast import fast_select_pallas
 
     n, h, w = score_stack_src.shape
     neg = jnp.float32(-1e9)
     raw, flat_s, flat_code = fast_select_pallas(
-        score_stack_src, bounds, th_hi, th_lo, border, k_per_cell, interpret
+        score_stack_src, bounds, th_hi, th_lo, border, k_per_cell, interpret,
+        compute_dtype=compute_dtype,
     )
     k_max = min(k_max, flat_s.shape[1])
     g_s, g_i = _topk(flat_s, k_max)

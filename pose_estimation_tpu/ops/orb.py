@@ -544,6 +544,15 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     ra, ca = _pyramid_mats(h, w, cfg)
     lv = jnp.einsum("lrh,bhw->lbrw", ra, imgs, precision="highest")
     lv = jnp.einsum("lbrw,lwc->lbrc", lv, ca, precision="highest")
+    # The pyramid stays full-precision f32 (the reference quantizes every
+    # level to uint8 — cv::resize CV_8U, `ORBextractor.cc:1107-1132` — and
+    # measurably loses tracking accuracy for it on the rendered simulator:
+    # quantizing the resampled levels alone pushed the e2e |ba| gate from
+    # ~1.4 to 3.2 m/s^2). Consequence for the bf16 fused-select kernel: its
+    # scores are EXACT on integer-valued planes (level 0 of uint8 frames —
+    # diffs <= 255 fit bf16's 8-bit mantissa) and carry <= 0.5-intensity
+    # rounding on resampled levels — strictly less perturbation than the
+    # reference's own uint8 pyramid.
     stack = jnp.concatenate([imgs[None], lv], axis=0).reshape(nl * b, h, w)
     bounds = [shapes[p // b] for p in range(nl * b)]
 
@@ -553,6 +562,7 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
         kps = fast_mod.select_keypoints_fused(
             stack, bounds, cfg.th_hi, cfg.th_lo, budgets[0],
             border=EDGE, k_per_cell=cfg.k_per_cell,
+            compute_dtype=jnp.bfloat16,
         )
     elif cfg.fast_backend == "pallas":
         from pose_estimation_tpu.ops.pallas_fast import fast_score_nms_pallas

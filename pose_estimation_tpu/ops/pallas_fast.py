@@ -158,12 +158,15 @@ def _seg_all(x, op, seg: int):
 
 
 def _select_kernel(
-    dims_ref, img_ref, raw_ref, val_ref, pos_ref, *,
-    band: int, width: int, n_bands: int,
+    dims_ref, plane_ref, band_ref, img_ref, raw_ref, val_ref, pos_ref, *,
+    band: int, cell: int, width: int,
     th_hi: float, th_lo: float, border: int, kpc: int,
+    compute_dtype=jnp.float32,
 ):
-    """One (plane, 16-row band) program: FAST-9/16 score + 3x3 NMS + border/
-    threshold gating + per-16x16-cell top-`kpc` selection, all in VMEM.
+    """One (plane, `band`-row band) program: FAST-9/16 score + 3x3 NMS +
+    border/threshold gating + per-16x16-cell top-`kpc` selection, all in
+    VMEM. A band covers band//cell cell-rows; they share the tile load, the
+    FAST/NMS compute and its halo, and amortize the per-program overhead.
 
     Replaces the masked-score-map write + the host-side cell reshape +
     `kpc` argmax/mask passes of `fast.select_keypoints_batched` (~12
@@ -177,15 +180,31 @@ def _select_kernel(
     with max > th_hi keeps only scores > th_hi, else scores > th_lo; ties
     break to the first element in within-cell row-major order.
 
+    compute_dtype=bfloat16 runs the FAST diff + min/max score chain (the
+    bulk of the kernel's vector work) in bf16 — EXACT (not approximate)
+    whenever the plane values are integers in [0, 255] (level 0 of uint8
+    frames): diffs/mins/maxes of such values stay integral <= 255, which
+    bf16's 8-bit mantissa represents exactly. On fractional planes
+    (resampled pyramid levels) scores carry <= 0.5-intensity rounding —
+    strictly less than the reference's own uint8 pyramid quantization.
+    NMS/gating/top-k comparisons stay f32 (Mosaic on this target rejects
+    bf16 compares).
+
     dims_ref (SMEM, scalar-prefetched): [2, n] per-plane content (lh, lw).
+    plane_ref/band_ref (SMEM): per-program plane id and band index — the
+    grid enumerates only CONTENT bands (pyramid levels shrink, so ~45% of
+    the uniform plane x band product is beyond a level's rows; those
+    programs are never launched and their output slots are statically
+    masked by the host wrapper).
     """
     g = pl.program_id(0)
-    i = g % n_bands
-    plane = g // n_bands
+    i = band_ref[g]
+    plane = plane_ref[g]
     lh = dims_ref[0, plane]
     lw = dims_ref[1, plane]
 
     tile = img_ref[0, pl.ds(i * band, band + 2 * HALO), :]  # [band+8, W]
+    tile = tile.astype(compute_dtype)
 
     def shift(arr, dy, dx):
         rolled = arr if dx == 0 else jnp.roll(arr, -dx, axis=1)
@@ -205,7 +224,12 @@ def _select_kernel(
             out = jnp.maximum(out, m9[i])
         return out
 
-    score = jnp.maximum(arc_min9(diffs), arc_min9([-d for d in diffs]))
+    # comparisons happen in f32 — Mosaic on this target rejects bf16
+    # compares ("Target does not support this comparison"); the min/max
+    # score chain above is where the vreg pressure is anyway
+    score = jnp.maximum(
+        arc_min9(diffs), arc_min9([-d for d in diffs])
+    ).astype(jnp.float32)
 
     def nshift(arr, dy, dx):
         rolled = arr if dx == 0 else jnp.roll(arr, -dx, axis=1)
@@ -222,7 +246,7 @@ def _select_kernel(
             nb = nshift(score, dy, dx)
             keep = keep & ((c > nb) if strictly_before else (c >= nb))
 
-    raw_ref[0, :, :] = c
+    raw_ref[0, :, :] = c.astype(raw_ref.dtype)
 
     # ---- gating: NMS survivors, positive score, inside the per-plane
     # detection border (content sizes from SMEM)
@@ -233,29 +257,37 @@ def _select_kernel(
         & (lane >= border) & (lane < lw - border)
     )
     neg = jnp.float32(_NEG)
-    s = jnp.where(keep & (c > 0.0) & inb, c, neg)
+    zero = jnp.float32(0.0)
+    s = jnp.where(keep & (c > zero) & inb, c, neg)
 
-    # ---- cell eligibility (th_hi cells keep strong corners only)
-    rowmax = jnp.max(s, axis=0, keepdims=True)
-    cellmax = _seg_all(rowmax, jnp.maximum, band)      # [1, W] bcast
-    # select the THRESHOLD (f32), not boolean vectors: Mosaic cannot lower
-    # an i1 select_n (i8->i1 truncation error)
-    thr = jnp.where(cellmax > th_hi, jnp.float32(th_hi), jnp.float32(th_lo))
-    cand = jnp.where(s > thr, s, neg)
-
-    # ---- top-kpc per cell, first-index tie-break via flat-position min
+    # flat-position tie-break codes stay f32 (codes reach H*W ~ 3.6e5,
+    # needing the full 24-bit mantissa)
     code = (row_g * width + lane).astype(jnp.float32)       # < 2^24, exact
     big = jnp.float32(3e9)
-    for k in range(kpc):
-        rmax = jnp.max(cand, axis=0, keepdims=True)
-        cmax = _seg_all(rmax, jnp.maximum, band)        # [1, W]
-        is_max = cand == cmax
-        pcode = jnp.where(is_max, code, big)
-        rmin = jnp.min(pcode, axis=0, keepdims=True)
-        cmin = _seg_all(rmin, jnp.minimum, band)        # [1, W]
-        val_ref[0, 0, k, :] = cmax[0]
-        pos_ref[0, 0, k, :] = cmin[0]
-        cand = jnp.where(code == cmin, neg, cand)
+
+    # ---- per cell-row: eligibility gate + top-kpc, first-index tie-break
+    for cr in range(band // cell):
+        sh = s[cr * cell : (cr + 1) * cell]
+        codeh = code[cr * cell : (cr + 1) * cell]
+        rowmax = jnp.max(sh, axis=0, keepdims=True)
+        cellmax = _seg_all(rowmax, jnp.maximum, cell)       # [1, W] bcast
+        # select the THRESHOLD value, not boolean vectors: Mosaic cannot
+        # lower an i1 select_n (i8->i1 truncation error)
+        thr = jnp.where(
+            cellmax > th_hi, jnp.float32(th_hi), jnp.float32(th_lo)
+        )
+        cand = jnp.where(sh > thr, sh, neg)
+
+        for k in range(kpc):
+            rmax = jnp.max(cand, axis=0, keepdims=True)
+            cmax = _seg_all(rmax, jnp.maximum, cell)        # [1, W]
+            is_max = cand == cmax
+            pcode = jnp.where(is_max, codeh, big)
+            rmin = jnp.min(pcode, axis=0, keepdims=True)
+            cmin = _seg_all(rmin, jnp.minimum, cell)        # [1, W]
+            val_ref[0, cr, k, :] = cmax[0]
+            pos_ref[0, cr, k, :] = cmin[0]
+            cand = jnp.where(codeh == cmin, neg, cand)
 
 
 def fast_select_pallas(
@@ -266,72 +298,104 @@ def fast_select_pallas(
     border: int = 19,
     k_per_cell: int = 4,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ):
     """Fused FAST score + NMS + per-cell top-k for a plane stack [N, H, W].
 
     Returns (raw_score [N, H, W], vals [N, n_cells_total, kpc], codes
     [N, n_cells_total, kpc] int32 flat y*W+x positions); invalid slots have
     vals == -1e9. Requires W % 16 == 0 (the lane-segment allreduce);
-    callers fall back to the unfused path otherwise."""
+    callers fall back to the unfused path otherwise.
+
+    compute_dtype=jnp.bfloat16 halves the score chain's vector-register
+    footprint; bit-exact vs float32 on integer-valued planes, <= 0.5
+    intensity score rounding on fractional ones (see `_select_kernel`)."""
     n, h, w = stack.shape
-    band = 16                      # == selection cell size
-    assert w % band == 0, "fused select needs W % 16 == 0"
+    cell = 16                      # selection cell size (lane segments)
+    band = 32                      # rows per program (band // cell cell-rows)
+    assert w % cell == 0, "fused select needs W % 16 == 0"
+    n_sub = band // cell
     hp = -(-h // band) * band
     img_p = jnp.pad(
         stack, ((0, 0), (HALO, hp - h + HALO), (0, 0)), mode="edge"
     )
     n_bands = hp // band
-    ncx = w // band
+    n_cr = hp // cell              # cell-rows (output granularity)
+    ncx = w // cell
 
     dims = jnp.asarray(
         np.array([[b[0] for b in bounds], [b[1] for b in bounds]]), jnp.int32
     )
+    # content-band program list: a level's last useful row is lh - border
+    # (subpixel refinement samples raw at gy + 1 with gy <= lh - border - 1);
+    # bands past it hold no selectable pixel and are never launched.
+    # `bounds` is static, so the maps + the written-slot mask are numpy.
+    nb_per = [
+        min(n_bands, (max(b[0] - border, 0)) // band + 1) for b in bounds
+    ]
+    prog_plane = np.concatenate(
+        [np.full(nb, p, np.int32) for p, nb in enumerate(nb_per)]
+    )
+    prog_band = np.concatenate(
+        [np.arange(nb, dtype=np.int32) for nb in nb_per]
+    )
+    n_progs = int(prog_plane.shape[0])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n * n_bands,),
+        num_scalar_prefetch=3,
+        grid=(n_progs,),
         in_specs=[
             pl.BlockSpec(
-                (1,) + img_p.shape[1:], lambda g, d: (g // n_bands, 0, 0)
+                (1,) + img_p.shape[1:], lambda g, d, pp, pb: (pp[g], 0, 0)
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, band, w), lambda g, d: (g // n_bands, g % n_bands, 0)
+                (1, band, w), lambda g, d, pp, pb: (pp[g], pb[g], 0)
             ),
             pl.BlockSpec(
-                (1, 1, k_per_cell, w),
-                lambda g, d: (g // n_bands, g % n_bands, 0, 0),
+                (1, n_sub, k_per_cell, w),
+                lambda g, d, pp, pb: (pp[g], pb[g], 0, 0),
             ),
             pl.BlockSpec(
-                (1, 1, k_per_cell, w),
-                lambda g, d: (g // n_bands, g % n_bands, 0, 0),
+                (1, n_sub, k_per_cell, w),
+                lambda g, d, pp, pb: (pp[g], pb[g], 0, 0),
             ),
         ),
     )
     raw, vals, codes = pl.pallas_call(
         functools.partial(
-            _select_kernel, band=band, width=w, n_bands=n_bands,
+            _select_kernel, band=band, cell=cell, width=w,
             th_hi=float(th_hi), th_lo=float(th_lo), border=int(border),
-            kpc=int(k_per_cell),
+            kpc=int(k_per_cell), compute_dtype=compute_dtype,
         ),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n, hp, w), stack.dtype),
-            jax.ShapeDtypeStruct((n, n_bands, k_per_cell, w), jnp.float32),
-            jax.ShapeDtypeStruct((n, n_bands, k_per_cell, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, n_cr, k_per_cell, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, n_cr, k_per_cell, w), jnp.float32),
         ),
         interpret=interpret,
-    )(dims, img_p)
+    )(dims, jnp.asarray(prog_plane), jnp.asarray(prog_band), img_p)
     # lane 0 of each 16-lane segment carries its cell's (value, position)
-    vals = vals[..., ::band].transpose(0, 1, 3, 2)          # [n, nb, ncx, kpc]
-    codes = codes[..., ::band].transpose(0, 1, 3, 2)
-    vals = vals.reshape(n, n_bands * ncx * k_per_cell)
+    vals = vals[..., ::cell].transpose(0, 1, 3, 2)          # [n, ncr, ncx, kpc]
+    codes = codes[..., ::cell].transpose(0, 1, 3, 2)
+    vals = vals.reshape(n, n_cr * ncx * k_per_cell)
+    # slots of never-launched bands are uninitialized memory — mask them
+    # with the same static band list before anything consumes them
+    written = np.zeros((n, n_cr), bool)
+    for p, nb in enumerate(nb_per):
+        written[p, : nb * n_sub] = True
+    wmask = jnp.asarray(
+        np.repeat(written, ncx * k_per_cell, axis=1)
+    )                                                       # [n, ncr*ncx*kpc]
+    vals = jnp.where(wmask, vals, _NEG)
     # empty slots carry the 3e9 tie-break sentinel — clip BEFORE the int32
     # cast (float->int overflow is unspecified); they are score-invalid and
     # masked downstream either way
     codes = jnp.clip(
-        codes.reshape(n, n_bands * ncx * k_per_cell), 0.0, float(h * w - 1)
+        jnp.where(wmask, codes.reshape(n, n_cr * ncx * k_per_cell), 0.0),
+        0.0, float(h * w - 1),
     ).astype(jnp.int32)
     return raw[:, :h], vals, codes
 

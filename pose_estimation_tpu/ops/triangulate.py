@@ -12,6 +12,37 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _adjugate4(m: jnp.ndarray) -> jnp.ndarray:
+    """adj(M) for [..., 4, 4]: transpose of the cofactor matrix, written out
+    as 16 3x3 determinants of elementwise products — no solver, no iteration,
+    batches as pure VPU work."""
+
+    def det3(r: int, c: int):
+        rows = [i for i in range(4) if i != r]
+        cols = [j for j in range(4) if j != c]
+        a = m[..., rows[0], cols[0]]
+        b = m[..., rows[0], cols[1]]
+        cc = m[..., rows[0], cols[2]]
+        d = m[..., rows[1], cols[0]]
+        e = m[..., rows[1], cols[1]]
+        f = m[..., rows[1], cols[2]]
+        g = m[..., rows[2], cols[0]]
+        h = m[..., rows[2], cols[1]]
+        i = m[..., rows[2], cols[2]]
+        return a * (e * i - f * h) - b * (d * i - f * g) + cc * (d * h - e * g)
+
+    cof = jnp.stack(
+        [
+            jnp.stack(
+                [(-1.0) ** (i + j) * det3(i, j) for j in range(4)], axis=-1
+            )
+            for i in range(4)
+        ],
+        axis=-2,
+    )
+    return jnp.swapaxes(cof, -1, -2)
+
+
 def triangulate(
     p1: jnp.ndarray,   # [3,4] projection matrix, camera 1
     p2: jnp.ndarray,   # [3,4] projection matrix, camera 2
@@ -30,10 +61,19 @@ def triangulate(
         ],
         axis=1,
     )  # [N, 4, 4]
-    # smallest eigenvector of A^T A
+    # Null vector (= smallest eigenvector) of the rank-3 symmetric A^T A,
+    # closed form: adj(S) = (prod of the 3 nonzero eigenvalues) * v0 v0^T,
+    # so the adjugate column with the largest diagonal entry IS v0 (the
+    # diagonal holds lambda-product * v0_j^2 >= 0). Replaces jnp.linalg.eigh,
+    # whose iterative batched lowering measured 1.24 ms/frame at B=32 —
+    # ~8x the rest of pool_update combined.
     ata = jnp.einsum("nij,nik->njk", a, a)
-    _, vecs = jnp.linalg.eigh(ata)
-    x = vecs[..., 0]  # eigenvector of smallest eigenvalue
+    adj = _adjugate4(ata)
+    diag = jnp.abs(jnp.diagonal(adj, axis1=-2, axis2=-1))   # [N, 4]
+    hot = diag == jnp.max(diag, axis=-1, keepdims=True)
+    # first max wins (ties are fp-exact duplicates of the same v0 direction)
+    hot = hot & (jnp.cumsum(hot, axis=-1) == 1)
+    x = jnp.sum(adj * hot[..., None, :].astype(adj.dtype), axis=-1)  # [N, 4]
     wcomp = x[:, 3]
     safe_w = jnp.where(jnp.abs(wcomp) < 1e-12, 1e-12, wcomp)
     return x[:, :3] / safe_w[:, None]

@@ -90,6 +90,38 @@ class TestFusedSelect:
         np.testing.assert_array_equal(
             np.asarray(ref.xy)[v], np.asarray(got.xy)[v])
 
+    def test_bf16_exact_on_integer_images(self):
+        """compute_dtype=bfloat16 == the f32 unfused path BIT-EXACTLY on
+        integer-valued images (the production case: extract_batch rounds
+        the pyramid like the reference's uint8 one): FAST diffs of ints
+        <= 255 are exactly representable in bf16."""
+        from pose_estimation_tpu.ops import fast as fast_mod
+        from pose_estimation_tpu.ops.pallas_fast import fast_score_nms_pallas
+
+        rng = np.random.default_rng(9)
+        h, w = 96, 128
+        n = 4
+        stack = jnp.asarray(
+            np.round(rng.uniform(0, 255, (n, h, w))), jnp.float32)
+        bounds = [(h, w)] * 2 + [(80, 112)] * 2
+        th_hi, th_lo, kmax, kpc = 20.0, 7.0, 100, 4
+
+        raw, masked = fast_score_nms_pallas(stack, interpret=True)
+        ref = fast_mod.select_keypoints_batched(
+            masked, bounds, th_hi, th_lo, kmax, cell=16, border=19,
+            k_per_cell=kpc, pre_nms=True, raw_score=raw)
+        got = fast_mod.select_keypoints_fused(
+            stack, bounds, th_hi, th_lo, kmax, border=19, k_per_cell=kpc,
+            interpret=True, compute_dtype=jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(ref.valid), np.asarray(got.valid))
+        v = np.asarray(ref.valid)
+        assert v.sum() > 50
+        np.testing.assert_array_equal(
+            np.asarray(ref.score)[v], np.asarray(got.score)[v])
+        np.testing.assert_array_equal(
+            np.asarray(ref.xy)[v], np.asarray(got.xy)[v])
+
 
 class TestPallasMoments:
     def test_angles_match_integral_formulation(self):
