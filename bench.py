@@ -187,7 +187,7 @@ def main():
     # are HBM-bounded (full-res 16-plane stacks per sequence); each is
     # attempted independently so one OOM/fault cannot void the run.
     results = {}
-    for b in (32, 16, 8):
+    for b in (64, 32, 16):
         try:
             results[b] = measure(b, n_iter=5)
         except Exception as e:  # OOM / tunnel fault on this size only
