@@ -155,6 +155,91 @@ def solve_gravity_velocity_bias(R, p, ics, max_iterations: int = 50):
     return x[0:3], x[3:6], x[6:].reshape(w, 3), info
 
 
+def solve_gravity_tilt_bias(
+    R, p, ics, g0, max_iterations: int = 50,
+    sigma_tilt: float = 0.5, sigma_dba: float = 0.5,
+):
+    """Magnitude-CONSTRAINED joint (gravity tilt [2], acc-bias increment [3],
+    velocities [K,3]) solve for online refinement.
+
+    `solve_gravity_velocity_bias` estimates gravity as a free 3-vector from
+    a zero start — correct at init (gravity direction unknown) but
+    DEGENERATE on refinement chains with little attitude variation: the
+    (|g|, dba) subspace is unconstrained and the LS wanders to unphysical
+    |g| (measured 12-39 m/s^2 on simulator chains, every refine rejected).
+    Post-init the magnitude is known and the direction is already near the
+    world axis, so parametrize g = g0 + B w with B an orthonormal basis of
+    the tangent plane at g0 (VINS-Mono-style 2-DoF refinement), plus weak
+    Tikhonov priors pulling (w, dba) to zero — on a chain that cannot
+    observe the tilt/ba_xy split the solve returns ~no correction instead
+    of a large complementary error pair. Returns (g_est [3] renormalized to
+    |g0|, dba [3], dv [K,3], info).
+    """
+    w = R.shape[0]
+    dtype = R.dtype
+    n_blocks = w - 1
+    n = 5 + 3 * w  # [tilt(2), dba(3), dv...]
+
+    g_mag = jnp.linalg.norm(g0)
+    ghat = g0 / g_mag
+    # orthonormal tangent basis at g0 (any fixed completion works)
+    a = jnp.where(jnp.abs(ghat[0]) < 0.9,
+                  jnp.asarray([1.0, 0.0, 0.0], dtype),
+                  jnp.asarray([0.0, 1.0, 0.0], dtype))
+    b1 = jnp.cross(ghat, a)
+    b1 = b1 / jnp.linalg.norm(b1)
+    b2 = jnp.cross(ghat, b1)
+    basis = jnp.stack([b1, b2], axis=1)                    # [3, 2]
+
+    n_rows = 6 * n_blocks + 5
+    jac = jnp.zeros((n_rows, n), dtype)
+    for i in range(n_blocks):
+        ic = _stack_map(ics, i)
+        jg, jvi, jvj = res.gravity_velocity_jacobians(R[i], ic)
+        lt = res.whitener(ic.inv_cov[3:9, 3:9])
+        jba = lt @ jnp.concatenate([-ic.d_v_ba, -ic.d_p_ba], axis=0)
+        r0 = 6 * i
+        jac = jac.at[r0 : r0 + 6, 0:2].set(jg @ basis)
+        jac = jac.at[r0 : r0 + 6, 2:5].set(jba)
+        jac = jac.at[r0 : r0 + 6, 5 + 3 * i : 8 + 3 * i].set(jvi)
+        jac = jac.at[r0 : r0 + 6, 8 + 3 * i : 11 + 3 * i].set(jvj)
+    pr = 6 * n_blocks
+    jac = jac.at[pr : pr + 2, 0:2].set(jnp.eye(2, dtype=dtype) / sigma_tilt)
+    jac = jac.at[pr + 2 : pr + 5, 2:5].set(jnp.eye(3, dtype=dtype) / sigma_dba)
+
+    def residual_fn(x):
+        tilt = x[0:2]
+        dba = x[2:5]
+        dv = x[5:].reshape(w, 3)
+        dg = g0 + basis @ tilt
+        rs = []
+        for i in range(n_blocks):
+            ic = _stack_map(ics, i)
+            ic_b = pre_repropagate(ic, jnp.zeros(3, dtype), dba)
+            rs.append(res.gravity_velocity_residual(
+                dg, dv[i], dv[i + 1], R[i], p[i], p[i + 1], ic_b
+            ))
+        rs.append(tilt / sigma_tilt)
+        rs.append(dba / sigma_dba)
+        return jnp.concatenate(rs)
+
+    def weight_fn(r):
+        blocks = r[: 6 * n_blocks].reshape(n_blocks, 6)
+        wts = lm_mod.huber_block_weights(blocks, jnp.ones(n_blocks, bool))
+        return jnp.concatenate([
+            jnp.repeat(wts[:, None], 6, axis=1).reshape(-1),
+            jnp.ones(5, dtype),
+        ])
+
+    x, info = lm_mod.lm_solve(
+        residual_fn, jac, jnp.zeros(n, dtype), weight_fn,
+        lm_mod.LMOptions(max_iterations=max_iterations),
+    )
+    g_raw = g0 + basis @ x[0:2]
+    g_est = g_raw / jnp.linalg.norm(g_raw) * g_mag
+    return g_est, x[2:5], x[5:].reshape(w, 3), info
+
+
 def solve_alignment(init_g: jax.Array, unit_g: jax.Array, axes, max_iterations: int = 50):
     """2-DoF rotation aligning the estimated gravity direction with the world
     gravity axis (`optimizer.cpp:242-304`). Returns delta_r [3] (full tangent,
@@ -176,6 +261,7 @@ def solve_alignment(init_g: jax.Array, unit_g: jax.Array, axes, max_iterations: 
 def refine_gravity(
     R, p, ics, unit_g, axes, gravity,
     max_iterations: int = 50, rounds: int = 2,
+    sigma_v: float = 0.05, sigma_p: float = 0.02,
 ):
     """Online gravity refinement over an accumulated KEYFRAME chain.
 
@@ -200,10 +286,29 @@ def refine_gravity(
     total_rot = jnp.eye(3, dtype=dtype)
     total_dba = zero3
     g_est = zero3
+    # The constraints' preintegration covariances describe IMU noise only;
+    # the chain's R/v/p come from windowed vision BA and carry cm/cm-per-s
+    # state errors that dwarf it. Solving with raw IMU weights makes the
+    # tilt/bias estimate wildly overconfident (accepted ~15 deg spurious
+    # tilts on the simulator); inflate the v/p covariance blocks with the
+    # expected state noise (sigma_v [m/s], sigma_p [m]) before whitening.
+    ncov = ics.inv_cov.shape[-1]
+    dvec = jnp.zeros(ncov, dtype)
+    dvec = dvec.at[3:6].set(sigma_v**2).at[6:9].set(sigma_p**2)
+    infl = jnp.diag(dvec)
+
+    def _inflate(inv_cov):
+        return jnp.linalg.inv(jnp.linalg.inv(inv_cov) + infl)
+
+    ics = ics._replace(inv_cov=jax.vmap(_inflate)(ics.inv_cov))
     for _ in range(rounds):
-        # JOINT (g, ba, v) solve — the tilt <-> ba_xy coupling is resolved
-        # in one linear step instead of a slow block-coordinate zigzag
-        g_est, dba, _, _ = solve_gravity_velocity_bias(R, p, ics, max_iterations)
+        # JOINT (tilt, ba, v) solve, gravity constrained to the known
+        # magnitude around the current world axis — the free-gravity joint
+        # solve is degenerate on low-rotation chains (see
+        # solve_gravity_tilt_bias)
+        g_est, dba, _, _ = solve_gravity_tilt_bias(
+            R, p, ics, gravity, max_iterations
+        )
         g_unit = g_est / jnp.linalg.norm(g_est)
         delta_r, _ = solve_alignment(g_unit, unit_g, axes, max_iterations)
         d_rm = lie.so3_exp(delta_r)

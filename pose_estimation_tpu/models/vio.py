@@ -134,6 +134,15 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
     )
     import jax as _jax
 
+    # CORRECTNESS-CRITICAL on TPU: the platform default lowers f32 matmuls
+    # to one bf16 MXU pass, which silently destroys the solver/geometry
+    # path (measured: simulator ATE 2.3% -> 61-165% of path with the bf16
+    # default). Every program built from these constants must trace with
+    # full-f32 matmuls; throughput-critical big matmuls that are SAFE at
+    # low precision (integer Hamming dots, one-hot selections) declare
+    # precision=DEFAULT explicitly at the call site.
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
     on_tpu = _jax.default_backend() in ("tpu", "axon")
     fast_backend = cfg.fast_backend
     if fast_backend == "auto":

@@ -288,7 +288,15 @@ def brief_descriptors_pool(
     # work) while its rounding flips near-tie bits and destabilizes the
     # e2e accuracy gates — keep the f32 source.
     vals = jnp.take(blur_flat, base[:, None] + yy * w + xx, axis=0)
-    diff = vals @ jnp.asarray(_DIFF)                             # [K,256]
+    # DEFAULT precision is deliberate: +-1/0 weights make each output a
+    # short signed sum of bf16-rounded intensities; only near-tie bits can
+    # flip (measured ~1e-4), and the global "highest" default (see
+    # vio.build_constants) would 6-pass this K x 441 x 256 matmul for
+    # nothing
+    diff = jnp.einsum(
+        "kp,pn->kn", vals, jnp.asarray(_DIFF),
+        precision=jax.lax.Precision.DEFAULT,
+    )
     return matching.pack_descriptors(diff > 0)
 
 
@@ -650,8 +658,13 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
         ang = jnp.arctan2(
             packed[..., npool + 1], packed[..., npool]
         ).reshape(-1)
-        diff = packed[..., :npool].reshape(b * k_tot, npool) @ jnp.asarray(
-            _DIFF
+        # DEFAULT precision: same argument as brief_descriptors_pool's
+        # difference matmul (near-tie bits only; keeps one bf16 MXU pass)
+        diff = jnp.einsum(
+            "kp,pn->kn",
+            packed[..., :npool].reshape(b * k_tot, npool),
+            jnp.asarray(_DIFF),
+            precision=jax.lax.Precision.DEFAULT,
         )
         desc = matching.pack_descriptors(diff > 0)
     else:

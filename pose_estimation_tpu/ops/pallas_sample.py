@@ -6,11 +6,13 @@ the `brief_descriptors_pool` [K,P] image gather — together the largest
 measured chunk of the extraction step, see NOTES.md) with ONE kernel that,
 for each keypoint:
 
-  1. loads a tile-aligned [56, 256] window around it from the VMEM-resident
+  1. loads a tile-aligned [56, 128] window around it from the VMEM-resident
      plane (Mosaic requires dynamic load offsets/sizes to be (8, 128)-tile
-     aligned; `(v // 8) * 8` offsets are provably aligned) and re-centers it
-     with two `pltpu.roll` dynamic rotates, yielding the 43x43 raw patch
-     (rotated pattern reach 13*sqrt(2) -> 18, + blur radius 3 = 21);
+     aligned; the canvas carries a 64-lane-shifted second copy of each
+     plane so one of the two phases always holds the whole 43-lane patch
+     in a single lane tile) and re-centers it with two `pltpu.roll` dynamic
+     rotates, yielding the 43x43 raw patch (rotated pattern reach
+     13*sqrt(2) -> 18, + blur radius 3 = 21);
   2. computes the IC moments (m10, m01) of the 31x31 circular patch center
      (`ORBextractor.cc:77-104` semantics, identical to the patch-gather
      oracle `orb.ic_angle`);
@@ -61,7 +63,14 @@ REACH = 21
 PS = 2 * REACH + 1    # 43: raw patch side
 PAD = 2               # reflect-101 canvas pad (= sample reach past EDGE=19)
 LD_R = 56             # aligned load rows: 43 + max 8-align remainder 7 -> 56
-LD_C = 256            # aligned load lanes: 43 + max 128-align remainder 127
+# Aligned load lanes: ONE 128-lane tile. A 43-lane patch at arbitrary x0
+# fits a single 128-aligned window iff x0 % 128 <= 85; the canvas therefore
+# carries a SECOND copy of every plane shifted left by 64 lanes — when
+# x0 % 128 > 85, the shifted copy has (x0 - 64) % 128 <= 63 and the patch
+# fits its aligned window instead. Halves the per-keypoint load+roll
+# traffic vs a 256-lane cover-all window.
+LD_C = 128
+PHASE = 64            # lane shift of the second plane copy
 SR = 48               # tall-layout row stride per patch (43 rounded up to 8)
 
 
@@ -93,8 +102,8 @@ def _moment_masks_iota():
 
 def _kernel(
     chunk_plane_ref,        # SMEM [n_chunks] int32 (drives the index map)
-    origins_ref,            # SMEM [2, K] int32: (y0, x0) per keypoint
-    plane_ref,              # VMEM [1, Hp2, Wp2] padded plane (pipelined)
+    origins_ref,            # SMEM [3, K] int32: (y0, xcomb, xshift) per kp
+    plane_ref,              # VMEM [1, Hp2, Wc] two-phase canvas (pipelined)
     poolxy_ref,             # VMEM [2, P] f32 pool sample points (x; y)
     out_ref,                # VMEM [T, out_w]
     *, t_chunk: int, n_pool: int, debug_stage: int = 4,
@@ -109,26 +118,34 @@ def _kernel(
     kern = _blur_taps()
 
     # ---- aligned loads + dynamic-roll re-centering, one per keypoint ----
+    # xcomb is a precomputed 128-aligned lane offset into the two-phase
+    # canvas (base copy or the 64-shifted copy, whichever holds the whole
+    # 43-lane patch in one tile); xshift <= 85 is the patch's lane offset
+    # within the loaded window.
     patches = []
     for t in range(t_chunk):
         i = g * t_chunk + t
         y0 = origins_ref[0, i]
-        x0 = origins_ref[1, i]
+        # lane-tile index from SMEM, scaled in-kernel: Mosaic must be able
+        # to statically PROVE the dynamic lane offset is a 128-multiple
+        xcomb = origins_ref[1, i] * LD_C
+        xshift = origins_ref[2, i]
         y0a = (y0 // 8) * 8          # provably 8-aligned sublane offset
-        x0a = (x0 // 128) * 128      # provably 128-aligned lane offset
         if debug_stage == 10:        # static load only (wrong values)
             block = plane_ref[0, 0:SR, 0:LD_C]
         else:
-            block = plane_ref[0, pl.ds(y0a, LD_R), pl.ds(x0a, LD_C)]
+            block = plane_ref[0, pl.ds(y0a, LD_R), pl.ds(xcomb, LD_C)]
             if debug_stage not in (11,):
                 # row r <- r + (y0 - y0a). Shift biased by LD_R: compiled
                 # Mosaic dynamic SUBLANE rotates mis-handle negative shifts
                 # (verified on-chip; lane rotates are fine) — roll by
                 # s + size is equivalent and always non-negative.
                 block = pltpu.roll(block, y0a - y0 + LD_R, 0)
-            if debug_stage not in (11, 12):
-                block = pltpu.roll(block, x0a - x0 + LD_C, 1)
             block = block[0:SR, :]
+            if debug_stage not in (11, 12):
+                # lane l <- l + xshift; wrapped lanes land at columns
+                # >= 128 - 85 = 43 and are sliced away below
+                block = pltpu.roll(block, LD_C - xshift, 1)
         patches.append(block)
     # [T*SR, LD_C]; rows t*SR .. t*SR+42 hold patch t, rows +43..47 junk
     tall = jnp.concatenate(patches, axis=0)[:, 0:PS]
@@ -283,28 +300,47 @@ def sample_patches_pallas(
     # its blur stencil another 3 — 2 px past the canvas edge for level-0
     # keypoints on the detection margin. Reflect-101 matches what
     # `orb.gaussian_blur7` computes at the canvas border. Beyond that, the
-    # canvas grows to fit the largest ALIGNED load window (the extra area is
-    # loaded but rolled out before use — values are irrelevant).
+    # canvas carries TWO lane-phase copies of each plane (base + shifted
+    # left by PHASE=64) so every 43-lane patch fits ONE 128-lane aligned
+    # window (see LD_C above); extra area is loaded but rolled/sliced away.
     hp, wp = h + 2 * PAD, w + 2 * PAD
     hp2 = ((hp - PS) // 8) * 8 + LD_R
-    wp2 = ((wp - PS) // 128) * 128 + LD_C
+    # each copy's lane span must cover BOTH its largest aligned window and
+    # its full content (whichever reaches further), rounded to lane tiles
+    wb = 128 * max((wp - PS) // 128 + 1, -(-wp // 128))
+    ws = 128 * max((wp - PHASE - PS) // 128 + 1, -(-(wp - PHASE) // 128))
     stack_p = jnp.pad(
         stack, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect"
     )
-    stack_p = jnp.pad(stack_p, ((0, 0), (0, hp2 - hp), (0, wp2 - wp)))
+    stack_p = jnp.pad(stack_p, ((0, 0), (0, hp2 - hp), (0, 0)))
+    base = jnp.pad(stack_p, ((0, 0), (0, 0), (0, wb - wp)))
+    shifted = jnp.pad(
+        stack_p[:, :, PHASE:], ((0, 0), (0, 0), (0, ws - (wp - PHASE)))
+    )
+    stack_p = jnp.concatenate([base, shifted], axis=2)    # [N, hp2, wb+ws]
 
     cx = jnp.round(xy[:, 0]).astype(jnp.int32)
     cy = jnp.round(xy[:, 1]).astype(jnp.int32)
     y0 = jnp.clip(cy + PAD - REACH, 0, hp - PS)
     x0 = jnp.clip(cx + PAD - REACH, 0, wp - PS)
-    origins = jnp.stack([y0, x0], axis=0)                 # [2, K] int32
+    # lane phase: patches with x0 % 128 > 128 - PS use the shifted copy
+    # (whose in-copy offset x0 - PHASE has remainder <= 128 - PS - ...)
+    m = x0 % 128
+    use2 = m > 128 - PS                                   # 43-lane fit test
+    # passed as a lane-TILE index (kernel rescales by 128 so Mosaic can
+    # prove alignment of the dynamic load offset)
+    xtile = jnp.where(
+        use2, wb // 128 + (x0 - PHASE) // 128, x0 // 128
+    )
+    xshift = jnp.where(use2, (x0 - PHASE) % 128, m)
+    origins = jnp.stack([y0, xtile, xshift], axis=0)      # [3, K] int32
     chunk_plane = plane.astype(jnp.int32).reshape(n_chunks, t_chunk)[:, 0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                            # chunk_plane, origins
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, hp2, wp2), lambda g, cp, og: (cp[g], 0, 0)),
+            pl.BlockSpec((1, hp2, wb + ws), lambda g, cp, og: (cp[g], 0, 0)),
             pl.BlockSpec((2, n_pool), lambda g, cp, og: (0, 0)),
         ],
         out_specs=pl.BlockSpec((t_chunk, out_w), lambda g, cp, og: (g, 0)),

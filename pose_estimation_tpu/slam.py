@@ -64,6 +64,11 @@ class VisualInertialSLAM:
         # the gravity/alignment/acc-bias solves are re-run periodically over
         # an accumulated KEYFRAME chain, where the two become observable
         self.gravity_refine_window = 12   # keyframes per chain (0 disables)
+        # refine as soon as this many keyframes exist (short sequences and
+        # slow motion produce < window keyframes; a shorter chain is less
+        # observable but the angle/dba acceptance gates below still apply —
+        # the chain grows toward `window` as keyframes accumulate)
+        self.gravity_refine_min = 6
         self.gravity_refine_every = 6     # keyframes between refinements
         self.max_refine_angle = 0.35      # rad; distrust bigger corrections
         self.max_refine_dba = 3.0         # m/s^2
@@ -375,7 +380,7 @@ class VisualInertialSLAM:
                     return True
                 if (
                     self.gravity_refine_window
-                    and len(self._kf_hist) >= self.gravity_refine_window
+                    and len(self._kf_hist) >= self.gravity_refine_min
                     and self._kfs_since_refine >= self.gravity_refine_every
                 ):
                     self._refine_gravity()
@@ -518,7 +523,14 @@ class VisualInertialSLAM:
         the acc-bias correction into the window deltas (it reaches the
         preintegrator at the next keyframe's bias update)."""
         win = self.vio.win
-        hist = self._kf_hist[-self.gravity_refine_window:]
+        # two static chain lengths only (full window, or the short `min`
+        # chain early on) — each length is a separate jit specialization
+        n_hist = (
+            self.gravity_refine_window
+            if len(self._kf_hist) >= self.gravity_refine_window
+            else self.gravity_refine_min
+        )
+        hist = self._kf_hist[-n_hist:]
         R = jnp.stack([h[0] for h in hist])
         p = jnp.stack([h[1] for h in hist])
         ics = jax.tree.map(lambda *a: jnp.stack(a), *[h[3] for h in hist[1:]])

