@@ -187,7 +187,10 @@ def main():
     # are HBM-bounded (full-res 16-plane stacks per sequence); each is
     # attempted independently so one OOM/fault cannot void the run.
     results = {}
-    for b in (64, 32, 16):
+    # B=64 compiled before the full-precision-matmul fix (252 f/s, ~2% over
+    # B=32) but now exceeds the remote-compile helper's limits; B=32 is the
+    # reliable throughput point.
+    for b in (32, 16):
         try:
             results[b] = measure(b, n_iter=5)
         except Exception as e:  # OOM / tunnel fault on this size only

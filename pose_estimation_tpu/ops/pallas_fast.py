@@ -323,81 +323,118 @@ def fast_select_pallas(
     n_cr = hp // cell              # cell-rows (output granularity)
     ncx = w // cell
 
-    dims = jnp.asarray(
-        np.array([[b[0] for b in bounds], [b[1] for b in bounds]]), jnp.int32
-    )
-    # content-band program list: a level's last useful row is lh - border
-    # (subpixel refinement samples raw at gy + 1 with gy <= lh - border - 1);
-    # bands past it hold no selectable pixel and are never launched.
-    # `bounds` is static, so the maps + the written-slot mask are numpy.
-    nb_per = [
-        min(n_bands, (max(b[0] - border, 0)) // band + 1) for b in bounds
-    ]
-    prog_plane = np.concatenate(
-        [np.full(nb, p, np.int32) for p, nb in enumerate(nb_per)]
-    )
-    prog_band = np.concatenate(
-        [np.arange(nb, dtype=np.int32) for nb in nb_per]
-    )
-    n_progs = int(prog_plane.shape[0])
+    # Width classes: a plane only needs lanes up to its content width
+    # (detections are gated to lane < lw - border), so CONTIGUOUS runs of
+    # planes sharing a lane class (lw rounded up to 128, capped at w)
+    # launch as separate, NARROWER kernels — pyramid levels shrink, and
+    # uniform-width padding was ~27% of the detection kernel's lane
+    # compute. `bounds` is static, so the grouping, the content-band
+    # program maps, and the written-slot masks are all numpy.
+    wcls = [min(w, -(-max(b[1], 8 * cell) // 128) * 128) for b in bounds]
+    runs = []                          # (start, end, w_c) contiguous
+    for p, wc in enumerate(wcls):
+        if runs and runs[-1][2] == wc:
+            runs[-1] = (runs[-1][0], p + 1, wc)
+        else:
+            runs.append((p, p + 1, wc))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_progs,),
-        in_specs=[
-            pl.BlockSpec(
-                (1,) + img_p.shape[1:], lambda g, d, pp, pb: (pp[g], 0, 0)
+    raw_parts, val_parts, code_parts = [], [], []
+    max_cand = max(n_cr * (wc // cell) * k_per_cell for _, _, wc in runs)
+    for start, end, w_c in runs:
+        n_r = end - start
+        ncx_c = w_c // cell
+        dims = jnp.asarray(
+            np.array([[b[0] for b in bounds[start:end]],
+                      [b[1] for b in bounds[start:end]]]), jnp.int32
+        )
+        # content-band program list: a level's last useful row is
+        # lh - border (subpixel refinement samples raw at gy + 1 with
+        # gy <= lh - border - 1); bands past it are never launched.
+        nb_per = [
+            min(n_bands, (max(b[0] - border, 0)) // band + 1)
+            for b in bounds[start:end]
+        ]
+        prog_plane = np.concatenate(
+            [np.full(nb, p, np.int32) for p, nb in enumerate(nb_per)]
+        )
+        prog_band = np.concatenate(
+            [np.arange(nb, dtype=np.int32) for nb in nb_per]
+        )
+        n_progs = int(prog_plane.shape[0])
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_progs,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, img_p.shape[1], w_c),
+                    lambda g, d, pp, pb, s=start: (s + pp[g], 0, 0),
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, band, w_c), lambda g, d, pp, pb: (pp[g], pb[g], 0)
+                ),
+                pl.BlockSpec(
+                    (1, n_sub, k_per_cell, w_c),
+                    lambda g, d, pp, pb: (pp[g], pb[g], 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, n_sub, k_per_cell, w_c),
+                    lambda g, d, pp, pb: (pp[g], pb[g], 0, 0),
+                ),
             ),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, band, w), lambda g, d, pp, pb: (pp[g], pb[g], 0)
+        )
+        # `width=w` keeps position codes in GLOBAL canvas coordinates
+        raw_r, vals_r, codes_r = pl.pallas_call(
+            functools.partial(
+                _select_kernel, band=band, cell=cell, width=w,
+                th_hi=float(th_hi), th_lo=float(th_lo), border=int(border),
+                kpc=int(k_per_cell), compute_dtype=compute_dtype,
             ),
-            pl.BlockSpec(
-                (1, n_sub, k_per_cell, w),
-                lambda g, d, pp, pb: (pp[g], pb[g], 0, 0),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((n_r, hp, w_c), stack.dtype),
+                jax.ShapeDtypeStruct((n_r, n_cr, k_per_cell, w_c), jnp.float32),
+                jax.ShapeDtypeStruct((n_r, n_cr, k_per_cell, w_c), jnp.float32),
             ),
-            pl.BlockSpec(
-                (1, n_sub, k_per_cell, w),
-                lambda g, d, pp, pb: (pp[g], pb[g], 0, 0),
-            ),
-        ),
+            interpret=interpret,
+        )(dims, jnp.asarray(prog_plane), jnp.asarray(prog_band), img_p)
+
+        # lane 0 of each 16-lane segment carries its cell's (value, pos)
+        vals_r = vals_r[..., ::cell].transpose(0, 1, 3, 2)  # [nr,ncr,ncx,kpc]
+        codes_r = codes_r[..., ::cell].transpose(0, 1, 3, 2)
+        n_cand = n_cr * ncx_c * k_per_cell
+        vals_r = vals_r.reshape(n_r, n_cand)
+        codes_r = codes_r.reshape(n_r, n_cand)
+        # slots of never-launched bands are uninitialized memory — mask
+        # them with the same static band list before anything consumes them
+        written = np.zeros((n_r, n_cr), bool)
+        for p, nb in enumerate(nb_per):
+            written[p, : nb * n_sub] = True
+        wmask = jnp.asarray(np.repeat(written, ncx_c * k_per_cell, axis=1))
+        vals_r = jnp.where(wmask, vals_r, _NEG)
+        # empty slots carry the 3e9 tie-break sentinel — clip BEFORE the
+        # int32 cast (float->int overflow is unspecified); they are
+        # score-invalid and masked downstream either way
+        codes_r = jnp.clip(
+            jnp.where(wmask, codes_r, 0.0), 0.0, float(h * w - 1)
+        ).astype(jnp.int32)
+        raw_parts.append(
+            jnp.pad(raw_r[:, :h], ((0, 0), (0, 0), (0, w - w_c)))
+        )
+        val_parts.append(
+            jnp.pad(vals_r, ((0, 0), (0, max_cand - n_cand)),
+                    constant_values=_NEG)
+        )
+        code_parts.append(
+            jnp.pad(codes_r, ((0, 0), (0, max_cand - n_cand)))
+        )
+    return (
+        jnp.concatenate(raw_parts, axis=0),
+        jnp.concatenate(val_parts, axis=0),
+        jnp.concatenate(code_parts, axis=0),
     )
-    raw, vals, codes = pl.pallas_call(
-        functools.partial(
-            _select_kernel, band=band, cell=cell, width=w,
-            th_hi=float(th_hi), th_lo=float(th_lo), border=int(border),
-            kpc=int(k_per_cell), compute_dtype=compute_dtype,
-        ),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((n, hp, w), stack.dtype),
-            jax.ShapeDtypeStruct((n, n_cr, k_per_cell, w), jnp.float32),
-            jax.ShapeDtypeStruct((n, n_cr, k_per_cell, w), jnp.float32),
-        ),
-        interpret=interpret,
-    )(dims, jnp.asarray(prog_plane), jnp.asarray(prog_band), img_p)
-    # lane 0 of each 16-lane segment carries its cell's (value, position)
-    vals = vals[..., ::cell].transpose(0, 1, 3, 2)          # [n, ncr, ncx, kpc]
-    codes = codes[..., ::cell].transpose(0, 1, 3, 2)
-    vals = vals.reshape(n, n_cr * ncx * k_per_cell)
-    # slots of never-launched bands are uninitialized memory — mask them
-    # with the same static band list before anything consumes them
-    written = np.zeros((n, n_cr), bool)
-    for p, nb in enumerate(nb_per):
-        written[p, : nb * n_sub] = True
-    wmask = jnp.asarray(
-        np.repeat(written, ncx * k_per_cell, axis=1)
-    )                                                       # [n, ncr*ncx*kpc]
-    vals = jnp.where(wmask, vals, _NEG)
-    # empty slots carry the 3e9 tie-break sentinel — clip BEFORE the int32
-    # cast (float->int overflow is unspecified); they are score-invalid and
-    # masked downstream either way
-    codes = jnp.clip(
-        jnp.where(wmask, codes.reshape(n, n_cr * ncx * k_per_cell), 0.0),
-        0.0, float(h * w - 1),
-    ).astype(jnp.int32)
-    return raw[:, :h], vals, codes
 
 
 # --------------------------------------------------------------------------- #

@@ -90,6 +90,36 @@ class TestFusedSelect:
         np.testing.assert_array_equal(
             np.asarray(ref.xy)[v], np.asarray(got.xy)[v])
 
+    def test_width_classes_match_unfused(self):
+        """Planes whose content is narrower than the canvas run through
+        NARROWER kernel launches (contiguous width-class runs); selection
+        must still equal the unfused full-width path exactly."""
+        from pose_estimation_tpu.ops import fast as fast_mod
+        from pose_estimation_tpu.ops.pallas_fast import fast_score_nms_pallas
+
+        rng = np.random.default_rng(11)
+        h, w = 96, 256
+        stack = jnp.asarray(rng.uniform(0, 255, (4, h, w)), jnp.float32)
+        # classes: 256, 256, 128, 128 -> two contiguous runs
+        bounds = [(h, w), (88, 224), (80, 120), (64, 96)]
+        th_hi, th_lo, kmax, kpc = 20.0, 7.0, 100, 4
+
+        raw, masked = fast_score_nms_pallas(stack, interpret=True)
+        ref = fast_mod.select_keypoints_batched(
+            masked, bounds, th_hi, th_lo, kmax, cell=16, border=19,
+            k_per_cell=kpc, pre_nms=True, raw_score=raw)
+        got = fast_mod.select_keypoints_fused(
+            stack, bounds, th_hi, th_lo, kmax, border=19, k_per_cell=kpc,
+            interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(ref.valid), np.asarray(got.valid))
+        v = np.asarray(ref.valid)
+        assert v.sum() > 50
+        np.testing.assert_array_equal(
+            np.asarray(ref.score)[v], np.asarray(got.score)[v])
+        np.testing.assert_array_equal(
+            np.asarray(ref.xy)[v], np.asarray(got.xy)[v])
+
     def test_bf16_exact_on_integer_images(self):
         """compute_dtype=bfloat16 == the f32 unfused path BIT-EXACTLY on
         integer-valued images (the production case: extract_batch rounds

@@ -123,6 +123,42 @@ class TestSampleKernel:
         # anything beyond a fraction of a percent means a real bug
         assert mismatch < 5e-3, mismatch
 
+    def test_canvas_spans_cover_content(self):
+        """Regression: for widths where (wp - PHASE - PS) % 128 > 85 the
+        shifted-copy span used to come out SMALLER than its content and
+        jnp.pad raised 'index can't contain negative values' (hit by the
+        simulator's non-EuRoC frame size). Both phase copies must cover
+        both their content and their largest aligned load window."""
+        n, h, w = 2, 96, 200          # wp=204 -> old ws < content width
+        stack, rng = _mk_stack(n, h, w, seed=5)
+        k = 16
+        plane = np.repeat(np.arange(n), k // n).astype(np.int32)
+        xy = np.stack(
+            [rng.uniform(20, w - 21, k), rng.uniform(20, h - 21, k)], -1
+        ).astype(np.float32)
+        vals, m10, m01 = sample_patches_pallas(
+            stack, jnp.asarray(plane), jnp.asarray(xy),
+            POOL_POINTS.astype(np.float32), t_chunk=8, interpret=True,
+        )
+        # values must equal the blurred-image oracle at the kernel's own
+        # rotation (same oracle as test_matches_xla_components)
+        blur = np.asarray(orb.gaussian_blur7(stack))
+        r = np.sqrt(np.asarray(m10) ** 2 + np.asarray(m01) ** 2)
+        ca = (np.asarray(m10) / np.maximum(r, 1e-12))[:, None]
+        sa = (np.asarray(m01) / np.maximum(r, 1e-12))[:, None]
+        px = POOL_POINTS[None, :, 0].astype(np.float32)
+        py = POOL_POINTS[None, :, 1].astype(np.float32)
+        col = np.round(px * ca - py * sa).astype(np.int32)
+        row = np.round(px * sa + py * ca).astype(np.int32)
+        cx = np.round(xy[:, 0]).astype(np.int32)[:, None]
+        cy = np.round(xy[:, 1]).astype(np.int32)[:, None]
+        vo = blur[
+            plane[:, None],
+            np.clip(cy + row, 0, h - 1),
+            np.clip(cx + col, 0, w - 1),
+        ]
+        np.testing.assert_allclose(np.asarray(vals), vo, atol=1e-3)
+
     def test_vmap_flatten_rule(self):
         """vmapped sampler == per-batch loop (custom_vmap flattens into the
         plane axis)."""
