@@ -226,16 +226,15 @@ def select_keypoints_fused(
 
     sub_src = raw.reshape(n, h * w)
 
-    def sc(yy, xx):
-        yy = jnp.clip(yy, 0, h - 1)
-        xx = jnp.clip(xx, 0, w - 1)
-        return jnp.take_along_axis(sub_src, yy * w + xx, axis=1)
-
-    s0 = sc(gy, gx)
-    sl = sc(gy, gx - 1)
-    sr = sc(gy, gx + 1)
-    su = sc(gy - 1, gx)
-    sd = sc(gy + 1, gx)
+    # all 5 stencil samples in ONE gather ([n, 5*k] indices) — five separate
+    # take_along_axis calls each pay the per-gather overhead on this chip
+    offs = jnp.stack([gx, gx - 1, gx + 1, gx, gx], axis=1)      # [n, 5, k]
+    offy = jnp.stack([gy, gy, gy, gy - 1, gy + 1], axis=1)
+    idx = (
+        jnp.clip(offy, 0, h - 1) * w + jnp.clip(offs, 0, w - 1)
+    ).reshape(n, -1)
+    s5 = jnp.take_along_axis(sub_src, idx, axis=1).reshape(n, 5, -1)
+    s0, sl, sr, su, sd = (s5[:, i] for i in range(5))
 
     def para(sm, s0, sp):
         den = sm - 2.0 * s0 + sp
