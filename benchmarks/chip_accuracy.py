@@ -1,0 +1,135 @@
+"""On-chip accuracy artifact: the noisy-sim e2e gates ON THE TPU.
+
+The CPU test surface (tests/conftest.py: cpu + x64) once masked a
+TPU-only accuracy disaster (the one-pass-bf16 matmul default) for two
+rounds. This script is the guard against the next one: it runs the 6-s
+noisy stereo-inertial simulator end to end on the REAL chip (the
+production surface: f32, pallas kernels, MXU matmuls) per seed, and
+records {ATE %path, |bg|, |ba|} to a re-runnable JSON artifact the same
+way bench.py records perf.
+
+Gates (VERDICT round-2 task 2): ATE < 2.5 % of path and |ba| < 1.0 m/s^2
+on every seed. Prints ONE JSON line and writes CHIP_ACCURACY.json (or
+$CHIP_ACC_OUT) at the repo root.
+
+Run:  python benchmarks/chip_accuracy.py            (supervised, retries
+TPU-tunnel faults like bench.py does).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+SEEDS = (0, 1, 2)
+DURATION = 6.0
+IMU_NOISE = 2.4e-3
+GATE_ATE_PCT = 2.5
+GATE_BA = 1.0
+GATE_BG = 0.03
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def supervise() -> int:
+    for attempt in range(4):
+        if attempt:
+            log(f"[chip_accuracy] retry {attempt} after TPU fault; waiting...")
+            time.sleep(150)
+        env = dict(os.environ, CHIP_ACC_WORKER="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        sys.stderr.write(proc.stderr)
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return 0
+        log(f"[chip_accuracy] attempt {attempt} failed (rc={proc.returncode})")
+    log("[chip_accuracy] all attempts failed")
+    return 1
+
+
+def main():
+    sys.path.insert(0, str(ROOT))
+    sys.path.insert(0, str(ROOT / "tests"))
+
+    import jax
+    import numpy as np
+
+    from sim import StereoInertialSim, sim_config
+
+    from pose_estimation_tpu.io.ate import ate_rmse
+    from pose_estimation_tpu.slam import State, VisualInertialSLAM
+
+    backend = jax.default_backend()
+    log(f"[chip_accuracy] backend={backend} devices={jax.devices()}")
+
+    per_seed = {}
+    for seed in SEEDS:
+        t0 = time.time()
+        cfg = sim_config(
+            keyframe_rotation=0.1, keyframe_translation=0.15,
+            full_ba_keyframes=True,
+        )
+        sim = StereoInertialSim(cfg, n_landmarks=150, seed=seed)
+        slam = VisualInertialSLAM(
+            cfg, verbose=False, reinit_on_bias_corruption=False
+        )
+        gt = sim.run(slam, duration=DURATION, imu_noise=IMU_NOISE,
+                     seed=seed + 10)
+        ok = slam.state == State.OK
+        path = float(np.linalg.norm(np.diff(gt[:, 1:], axis=0), axis=1).sum())
+        ate_pct = float(ate_rmse(slam.trajectory, gt) / path * 100.0)
+        win = slam.vio.win
+        bg = float(np.linalg.norm(np.asarray(win.ics.bg_i[-1] + win.dbg[-1])))
+        ba = float(np.linalg.norm(np.asarray(win.ics.ba_i[-1] + win.dba[-1])))
+        per_seed[str(seed)] = {
+            "ok": bool(ok),
+            "ate_pct_of_path": round(ate_pct, 3),
+            "bg": round(bg, 5),
+            "ba": round(ba, 4),
+            "path_m": round(path, 3),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        log(f"[chip_accuracy] seed={seed}: ok={ok} ate={ate_pct:.2f}% "
+            f"|bg|={bg:.4f} |ba|={ba:.3f} ({time.time() - t0:.0f}s)")
+
+    worst_ate = max(v["ate_pct_of_path"] for v in per_seed.values())
+    worst_ba = max(v["ba"] for v in per_seed.values())
+    worst_bg = max(v["bg"] for v in per_seed.values())
+    all_ok = all(v["ok"] for v in per_seed.values())
+    passed = (
+        all_ok and worst_ate < GATE_ATE_PCT and worst_ba < GATE_BA
+        and worst_bg < GATE_BG
+    )
+    result = {
+        "metric": "chip_e2e_accuracy_noisy_sim_6s",
+        "backend": backend,
+        "pass": bool(passed),
+        "worst_ate_pct_of_path": worst_ate,
+        "worst_ba": worst_ba,
+        "worst_bg": worst_bg,
+        "gates": {"ate_pct": GATE_ATE_PCT, "ba": GATE_BA, "bg": GATE_BG},
+        "duration_s": DURATION,
+        "imu_noise": IMU_NOISE,
+        "seeds": per_seed,
+    }
+    out = os.environ.get("CHIP_ACC_OUT", str(ROOT / "CHIP_ACCURACY.json"))
+    Path(out).write_text(json.dumps(result, indent=1) + "\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if os.environ.get("CHIP_ACC_WORKER") == "1":
+        main()
+    else:
+        sys.exit(supervise())

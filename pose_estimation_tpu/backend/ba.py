@@ -58,18 +58,19 @@ class LandmarkObs(NamedTuple):
     mask: jax.Array
 
 
-def build_problem(
+def _prep(
     win: WindowState,
     obs: LandmarkObs,
     calib: Calib,
     gravity: jax.Array,
     prior_factor: float,
 ):
-    """Assemble the motion-only BA least-squares problem.
-
-    Returns (residual_fn, jac [m,n], weight_fn, x0 [n], aux) — the exact
-    problem `motion_only_ba` solves, exposed so an independent solver
-    (scipy / Ceres) can act as oracle on it (SURVEY.md section 4)."""
+    """Shared precomputation of the motion-only BA problem: masks, the
+    pre-linearized reprojection pieces, the constant pair Jacobian, the
+    whiteners, and the (nonlinear) pair-residual closure. Consumed by both
+    `build_problem` (dense [m, n] form, the oracle surface) and
+    `build_normal_problem` (precomputed normal-equations form, the hot
+    path)."""
     wsize = win.R.shape[0] - 1
     L = obs.pos.shape[0]
     dtype = win.R.dtype
@@ -101,10 +102,6 @@ def build_problem(
     # All W pairs evaluated in ONE vmapped program (the per-pair python loop
     # costs W x the op count; on the dispatch-latency-bound chip op count IS
     # latency, see BASELINE.md).
-    n = 6 * wsize + 9 * wsize
-    m_pairs = 15 * wsize
-    m_rep = L * wsize * 2
-
     R_i, R_j = win.R[:-1], win.R[1:]
     p_i, p_j = win.p[:-1], win.p[1:]
     v_i, v_j = win.v[:-1], win.v[1:]
@@ -145,35 +142,21 @@ def build_problem(
     pose_cols = (
         jnp.einsum("kab,kf->kafb", blk_pj, sel_j)
         + jnp.einsum("kab,kf->kafb", blk_pi, sel_i)
-    ).reshape(m_pairs, 6 * wsize)
+    ).reshape(15 * wsize, 6 * wsize)
     vb_cols = (
         jnp.einsum("kab,kf->kafb", blk_vj, sel_j)
         + jnp.einsum("kab,kf->kafb", blk_vi, sel_i)
-    ).reshape(m_pairs, 9 * wsize)
+    ).reshape(15 * wsize, 9 * wsize)
     jac_pairs = jnp.concatenate([pose_cols, vb_cols], axis=1)   # [15W, 15W]
 
-    # reprojection rows: observation (l, w) occupies rows [base + (l*W+w)*2)
-    # and columns [6w, 6w+6). One-hot frame selector avoids scatter.
-    rep_rows = jnp.einsum("lwab,wf->lwafb", f_blk, sel_j).reshape(
-        m_rep, 6 * wsize
-    )
-    jac = jnp.concatenate(
-        [
-            jac_pairs,
-            jnp.concatenate(
-                [rep_rows, jnp.zeros((m_rep, 9 * wsize), dtype)], axis=1
-            ),
-        ],
-        axis=0,
-    )
-
-    # ---- residual closure ----
     # whiteners are constant across LM iterations; hoist them out of the
     # while_loop (cholesky lowerings inside the loop body otherwise)
     lts_imu = res.whitener(win.ics.inv_cov)                     # [W,15,15]
     lts_pri = res.whitener(win.ics.inv_cov * prior_factor)
 
-    def residual_fn(x):
+    def pairs_residual(x):
+        """Whitened prior/IMU pair residuals at increments x -> [W, 15]
+        (inactive pairs zeroed)."""
         dpose = x[0 : 6 * wsize].reshape(wsize, 6)
         dvdbga = x[6 * wsize :].reshape(wsize, 9)
         # increments of frame i (= param block k-1; zero for the first pair)
@@ -200,9 +183,65 @@ def build_problem(
             R_j, p_j, v_j, dbg_j, dba_j,
             win.ics, gravity, prior_factor, lts_pri,
         )
-        pairs = jnp.where(
+        return jnp.where(
             is_imu[:, None], r_imu, jnp.where(is_prior[:, None], r_pri, 0.0)
         )
+
+    aux = {
+        "num_landmarks": jnp.sum(lm_valid),
+        "num_observations": jnp.sum(obs_mask),
+        "wsize": wsize,
+    }
+    return {
+        "wsize": wsize, "L": L, "dtype": dtype,
+        "is_imu": is_imu, "is_prior": is_prior,
+        "obs_mask": obs_mask, "lm_valid": lm_valid,
+        "err": err, "f_blk": f_blk,
+        "jac_pairs": jac_pairs, "sel_j": sel_j,
+        "pairs_residual": pairs_residual,
+        "aux": aux,
+    }
+
+
+def build_problem(
+    win: WindowState,
+    obs: LandmarkObs,
+    calib: Calib,
+    gravity: jax.Array,
+    prior_factor: float,
+):
+    """Assemble the motion-only BA least-squares problem in DENSE form.
+
+    Returns (residual_fn, jac [m,n], weight_fn, x0 [n], aux) — the exact
+    problem `motion_only_ba` solves, exposed so an independent solver
+    (scipy / Ceres) can act as oracle on it (SURVEY.md section 4). The hot
+    path solves the same problem via `build_normal_problem`."""
+    pr = _prep(win, obs, calib, gravity, prior_factor)
+    wsize, L, dtype = pr["wsize"], pr["L"], pr["dtype"]
+    err, f_blk = pr["err"], pr["f_blk"]
+    obs_mask, lm_valid = pr["obs_mask"], pr["lm_valid"]
+    n = 15 * wsize
+    m_pairs = 15 * wsize
+    m_rep = L * wsize * 2
+
+    # reprojection rows: observation (l, w) occupies rows [base + (l*W+w)*2)
+    # and columns [6w, 6w+6). One-hot frame selector avoids scatter.
+    rep_rows = jnp.einsum("lwab,wf->lwafb", f_blk, pr["sel_j"]).reshape(
+        m_rep, 6 * wsize
+    )
+    jac = jnp.concatenate(
+        [
+            pr["jac_pairs"],
+            jnp.concatenate(
+                [rep_rows, jnp.zeros((m_rep, 9 * wsize), dtype)], axis=1
+            ),
+        ],
+        axis=0,
+    )
+
+    def residual_fn(x):
+        pairs = pr["pairs_residual"](x)
+        dpose = x[0 : 6 * wsize].reshape(wsize, 6)
         # linear reprojection residual: err + F dpose_w
         r_rep = err + jnp.einsum("lwab,wb->lwa", f_blk, dpose)
         r_rep = jnp.where(obs_mask[..., None], r_rep, 0.0)
@@ -210,7 +249,7 @@ def build_problem(
 
     # ---- Huber weights per landmark block (loss on reprojection only,
     # `optimizer.cpp:36,135`; prior/IMU use NULL loss `:41,47`) ----
-    pair_w = jnp.repeat((is_imu | is_prior).astype(dtype), 15)
+    pair_w = jnp.repeat((pr["is_imu"] | pr["is_prior"]).astype(dtype), 15)
 
     def weight_fn(r):
         r_rep = r[m_pairs:].reshape(L, wsize * 2)
@@ -219,12 +258,78 @@ def build_problem(
         return jnp.concatenate([pair_w, w_rep])
 
     x0 = jnp.zeros(n, dtype)
-    aux = {
-        "num_landmarks": jnp.sum(lm_valid),
-        "num_observations": jnp.sum(obs_mask),
-        "wsize": wsize,
-    }
-    return residual_fn, jac, weight_fn, x0, aux
+    return residual_fn, jac, weight_fn, x0, pr["aux"]
+
+
+def build_normal_problem(
+    win: WindowState,
+    obs: LandmarkObs,
+    calib: Calib,
+    gravity: jax.Array,
+    prior_factor: float,
+):
+    """The SAME motion-only BA problem in precomputed normal-equations form.
+
+    Structure exploited (why this is cheap):
+    * the pair Jacobian is constant and pair weights are 0/1 constants, so
+      H_pairs = J_p^T J_p is computed ONCE outside the LM loop;
+    * the reprojection residual is LINEAR in x (pre-linearized: r = err +
+      F dpose), so per-landmark Gram pieces G = F^T F [L, W, 6, 6],
+      b = F^T err [L, W, 6], e2 = ||err||^2 [L, W] are constant too, and the
+      per-iteration reprojection contribution is just Huber-weighted sums of
+      them: H_rep,w = sum_l w_l G_lw, g_rep,w = sum_l w_l (b_lw + G_lw dp_w),
+      block cost s_l = sum_w (e2 + 2 b.dp + dp.G dp).
+    The LM loop body (lm.lm_solve_normal) therefore touches NO m~8k-row
+    tensors — only [L, W]-sized weighted sums and a 15W-dim solve.
+
+    Returns (normal_fn, x0, aux) with normal_fn(x) -> (H, g, cost),
+    mathematically identical (up to fp summation order) to
+    `build_problem` + IRLS weights.
+    """
+    pr = _prep(win, obs, calib, gravity, prior_factor)
+    wsize, dtype = pr["wsize"], pr["dtype"]
+    err, f_blk, lm_valid = pr["err"], pr["f_blk"], pr["lm_valid"]
+    jac_pairs = pr["jac_pairs"]
+    pairs_residual = pr["pairs_residual"]
+    n = 15 * wsize
+
+    # constant pieces (inactive pairs / masked observations are already
+    # zeroed inside jac_pairs / f_blk / err, so no re-masking needed)
+    h_pairs = jac_pairs.T @ jac_pairs                       # [n, n]
+    gram = jnp.einsum("lwai,lwaj->lwij", f_blk, f_blk)      # [L, W, 6, 6]
+    bvec = jnp.einsum("lwai,lwa->lwi", f_blk, err)          # [L, W, 6]
+    e2 = jnp.sum(err * err, axis=-1)                        # [L, W]
+
+    def normal_fn(x):
+        dpose = x[0 : 6 * wsize].reshape(wsize, 6)
+        pairs = pairs_residual(x)                           # [W, 15]
+
+        # Huber block weights from the quadratic expansion of s_l
+        s_lw = (
+            e2
+            + 2.0 * jnp.einsum("lwi,wi->lw", bvec, dpose)
+            + jnp.einsum("wi,lwij,wj->lw", dpose, gram, dpose)
+        )
+        s_l = jnp.sum(s_lw, axis=1)                         # [L] >= 0
+        w_l = jnp.where(
+            s_l <= 1.0, 1.0, 1.0 / jnp.sqrt(jnp.maximum(s_l, 1e-32))
+        )
+        w_l = jnp.where(lm_valid, w_l, 0.0)
+
+        hw = jnp.einsum("l,lwij->wij", w_l, gram)           # [W, 6, 6]
+        gw = jnp.einsum("l,lwi->wi", w_l, bvec) + jnp.einsum(
+            "wij,wj->wi", hw, dpose
+        )
+
+        h = h_pairs
+        for k in range(wsize):                              # static slices
+            h = h.at[6 * k : 6 * k + 6, 6 * k : 6 * k + 6].add(hw[k])
+        g = jac_pairs.T @ pairs.reshape(-1)
+        g = g.at[: 6 * wsize].add(gw.reshape(-1))
+        cost = 0.5 * (jnp.sum(pairs * pairs) + w_l @ s_l)
+        return h, g, cost
+
+    return normal_fn, jnp.zeros(n, dtype), pr["aux"]
 
 
 def motion_only_ba(
@@ -237,12 +342,11 @@ def motion_only_ba(
 ):
     """Returns (delta_pose [W,6], delta_vdbga [W,9], info)."""
     wsize = win.R.shape[0] - 1
-    residual_fn, jac, weight_fn, x0, aux = build_problem(
+    normal_fn, x0, aux = build_normal_problem(
         win, obs, calib, gravity, prior_factor
     )
-    x, info = lm_mod.lm_solve(
-        residual_fn, jac, x0, weight_fn,
-        lm_mod.LMOptions(max_iterations=max_iterations),
+    x, info = lm_mod.lm_solve_normal(
+        normal_fn, x0, lm_mod.LMOptions(max_iterations=max_iterations),
     )
     delta_pose = x[0 : 6 * wsize].reshape(wsize, 6)
     delta_vdbga = x[6 * wsize :].reshape(wsize, 9)

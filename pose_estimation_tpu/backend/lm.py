@@ -153,6 +153,109 @@ def lm_solve(
     return final.x, info
 
 
+class NormalLMState(NamedTuple):
+    x: jax.Array
+    h: jax.Array         # J^T W J at x (carried: ONE eval per iteration)
+    g: jax.Array         # J^T W r at x
+    cost: jax.Array
+    lam: jax.Array
+    nu: jax.Array
+    it: jax.Array
+    done: jax.Array
+    accepted: jax.Array
+
+
+def lm_solve_normal(
+    normal_fn: Callable[[jax.Array], tuple[jax.Array, jax.Array, jax.Array]],
+    x0: jax.Array,
+    options: LMOptions = LMOptions(),
+):
+    """`lm_solve` with the normal equations supplied directly.
+
+    normal_fn(x) -> (H [n,n], g [n], cost scalar) of the IRLS-weighted
+    problem at x, i.e. H = J^T W(x) J, g = J^T W(x) r(x),
+    cost = 0.5 r^T W r. For problems whose per-block Gram matrices are
+    precomputable (the motion-only BA: constant Jacobian, LINEAR
+    reprojection residual, per-landmark Huber weights — see
+    `ba.build_normal_problem`), this shrinks the while_loop body from
+    two [n, m] x [m, .] products over m ~ 8k residuals to a few
+    block-weighted sums + one n-dim Cholesky solve — the loop body is
+    what single-stream latency is made of on this chip.
+
+    Accept/reject, radius update, and convergence rules are identical to
+    `lm_solve` (Ceres gain-ratio trust region). Returns (x, info).
+    """
+    h0, g0, cost0 = normal_fn(x0)
+    dtype = x0.dtype
+    n = x0.shape[0]
+
+    def body(s: NormalLMState) -> NormalLMState:
+        d = jnp.diag(s.h)
+        d = jnp.where(d > 0, d, 1.0)
+        h_damped = s.h + s.lam * jnp.diag(d)
+        chol = jnp.linalg.cholesky(h_damped + 1e-32 * jnp.eye(n, dtype=dtype))
+        step = -jax.scipy.linalg.cho_solve((chol, True), s.g)
+        bad_chol = ~jnp.all(jnp.isfinite(step))
+        step = jnp.where(bad_chol, jnp.zeros_like(step), step)
+
+        x_new = s.x + step
+        h_new, g_new, new_cost = normal_fn(x_new)
+
+        model_decrease = -(s.g @ step) - 0.5 * step @ (s.h @ step)
+        model_decrease = jnp.maximum(model_decrease, 1e-32)
+        rho = (s.cost - new_cost) / model_decrease
+
+        accept = (
+            (rho > options.min_relative_decrease)
+            & jnp.isfinite(new_cost) & ~bad_chol
+        )
+
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_acc = jnp.clip(s.lam * shrink, options.min_lambda, options.max_lambda)
+        lam_rej = jnp.clip(s.lam * s.nu, options.min_lambda, options.max_lambda)
+
+        cost_change = jnp.abs(s.cost - new_cost)
+        f_conv = cost_change <= options.function_tolerance * (s.cost + 1e-32)
+        x_norm = jnp.linalg.norm(s.x)
+        p_conv = jnp.linalg.norm(step) <= options.parameter_tolerance * (
+            x_norm + options.parameter_tolerance
+        )
+        done = accept & (f_conv | p_conv)
+
+        return NormalLMState(
+            x=jnp.where(accept, x_new, s.x),
+            h=jnp.where(accept, h_new, s.h),
+            g=jnp.where(accept, g_new, s.g),
+            cost=jnp.where(accept, new_cost, s.cost),
+            lam=jnp.where(accept, lam_acc, lam_rej),
+            nu=jnp.where(accept, jnp.asarray(2.0, dtype), s.nu * 2.0),
+            it=s.it + 1,
+            done=done,
+            accepted=s.accepted + accept.astype(jnp.int32),
+        )
+
+    def cond(s: NormalLMState):
+        return (~s.done) & (s.it < options.max_iterations)
+
+    init = NormalLMState(
+        x=x0, h=h0, g=g0, cost=cost0,
+        lam=jnp.asarray(options.initial_lambda, dtype),
+        nu=jnp.asarray(2.0, dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        accepted=jnp.asarray(0, jnp.int32),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    info = {
+        "initial_cost": cost0,
+        "final_cost": final.cost,
+        "iterations": final.it,
+        "accepted_steps": final.accepted,
+        "lambda": final.lam,
+    }
+    return final.x, info
+
+
 def huber_block_weights(r_blocks: jax.Array, mask: jax.Array, delta: float = 1.0):
     """Per-block Huber IRLS weights, Ceres `HuberLoss(1.0)` convention.
 

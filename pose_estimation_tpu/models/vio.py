@@ -74,7 +74,8 @@ class VIOStatic:
     # RANSAC minimal solver for the SfM bootstrap, from the reference's
     # `solvePnP` switch (`feature-tracker.cpp:513-531`):
     # 0 -> "dlt" (ITERATIVE), 1/3/4 -> "epnp" (EPNP/DLS/UPNP),
-    # 2/5 -> "epnp_min" (P3P/AP3P: reduced 5-point samples)
+    # 2/5 -> "p3p" (P3P/AP3P: true Grunert minimal solver, ops/p3p.py);
+    # "epnp_min" (reduced 5-point EPnP) remains available as a fallback
     pnp_solver: str = "dlt"
     # "sparse": ORB on raw frames + analytic keypoint rectification (no
     # dense remap on the hot path); "dense": remap full frames first
@@ -93,6 +94,16 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
     in the RECTIFIED left-camera frame, so the body<->camera transforms are
     composed with R1 (the reference omits this, folding R1 into the
     extrinsics as a constant error — see tracker.py module docstring).
+
+    SIDE EFFECT: sets the process-global `jax_default_matmul_precision` to
+    "highest" (see the comment at the call below for why this is
+    correctness-critical on TPU). Every entry point of this framework
+    (run_*, bench, slam.SLAM, the batched/parallel builders) funnels through
+    here, so programs traced afterwards — including unrelated ones — get
+    full-precision f32 matmuls. Callers composing these ops WITHOUT
+    build_constants on TPU must set the flag (or a
+    `jax.default_matmul_precision("highest")` context) themselves, or the
+    platform's one-pass-bf16 default silently destroys the solver path.
     """
     r_cb_rect = cm.R1 @ cm.R_cb          # body -> rectified camera
     p_cb_rect = cm.R1 @ cm.p_cb
@@ -175,8 +186,8 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
         cur_capacity=cfg.max_matches,
         pool_capacity=cfg.pool_capacity,
         window=cfg.window_size,
-        pnp_solver={0: "dlt", 1: "epnp", 2: "epnp_min", 3: "epnp",
-                    4: "epnp", 5: "epnp_min"}[cfg.solve_pnp],
+        pnp_solver={0: "dlt", 1: "epnp", 2: "p3p", 3: "epnp",
+                    4: "epnp", 5: "p3p"}[cfg.solve_pnp],
         rectify_mode=cfg.rectify_mode,
         full_ba_keyframes=cfg.full_ba_keyframes,
         full_ba_iterations=cfg.full_ba_iterations,

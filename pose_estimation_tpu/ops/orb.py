@@ -283,16 +283,20 @@ def brief_descriptors_pool(
     row = jnp.round(px * sa + py * ca).astype(jnp.int32)
     xx = jnp.clip(cx + col, 0, w - 1)                            # [K,P]
     yy = jnp.clip(cy + row, 0, h - 1)
-    # NOTE: a bf16 view of the blur source makes STANDALONE gathers ~30%
-    # cheaper, but measured zero in-step win (the gather overlaps other
-    # work) while its rounding flips near-tie bits and destabilizes the
-    # e2e accuracy gates — keep the f32 source.
+    # Precision story for the two stages (they are different knobs):
+    # * the GATHER source stays f32 — a bf16 source view makes standalone
+    #   gathers ~30% cheaper but measured zero in-step win (the gather
+    #   overlaps other work), so there is nothing to buy with its rounding;
+    # * the difference MATMUL below runs at DEFAULT precision, which rounds
+    #   the same gathered f32 values to bf16 on the MXU input anyway
+    #   (~0.4% relative, <= ~1 intensity unit per difference). That makes
+    #   descriptor bits near ties backend-dependent (TPU vs CPU f32) at a
+    #   measured ~1e-4 flip rate; the on-chip e2e accuracy gates
+    #   (benchmarks/chip_accuracy.py artifact + the |ba| canary) cover it,
+    #   and the global "highest" default (see vio.build_constants) would
+    #   6-pass this K x 441 x 256 matmul for nothing. +-1/0 weights keep
+    #   each output a short signed sum, so no accumulation blow-up.
     vals = jnp.take(blur_flat, base[:, None] + yy * w + xx, axis=0)
-    # DEFAULT precision is deliberate: +-1/0 weights make each output a
-    # short signed sum of bf16-rounded intensities; only near-tie bits can
-    # flip (measured ~1e-4), and the global "highest" default (see
-    # vio.build_constants) would 6-pass this K x 441 x 256 matmul for
-    # nothing
     diff = jnp.einsum(
         "kp,pn->kn", vals, jnp.asarray(_DIFF),
         precision=jax.lax.Precision.DEFAULT,

@@ -414,11 +414,17 @@ def fast_select_pallas(
             written[p, : nb * n_sub] = True
         wmask = jnp.asarray(np.repeat(written, ncx_c * k_per_cell, axis=1))
         vals_r = jnp.where(wmask, vals_r, _NEG)
-        # empty slots carry the 3e9 tie-break sentinel — clip BEFORE the
-        # int32 cast (float->int overflow is unspecified); they are
-        # score-invalid and masked downstream either way
+        # Invalid slots (no candidate passed the gates, val == _NEG) carry
+        # the 3e9 tie-break sentinel, which would clip to flat position
+        # h*w-1 — row h-1 of the raw buffer, an UNWRITTEN band on short
+        # pyramid planes (only content bands are launched). Route every
+        # invalid code to position 0 instead (band 0 is launched for every
+        # plane), so downstream subpixel gathers only read initialized
+        # memory; the slots are score-invalid and masked downstream either
+        # way. Clip BEFORE the int32 cast (float->int overflow is
+        # unspecified).
         codes_r = jnp.clip(
-            jnp.where(wmask, codes_r, 0.0), 0.0, float(h * w - 1)
+            jnp.where(vals_r > _NEG / 2, codes_r, 0.0), 0.0, float(h * w - 1)
         ).astype(jnp.int32)
         raw_parts.append(
             jnp.pad(raw_r[:, :h], ((0, 0), (0, 0), (0, w - w_c)))

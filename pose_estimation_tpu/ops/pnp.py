@@ -275,7 +275,7 @@ def gauss_newton_pose(
     return rvec, t
 
 
-SOLVER_SAMPLE_SIZE = {"dlt": 6, "epnp": 6, "epnp_min": 5}
+SOLVER_SAMPLE_SIZE = {"dlt": 6, "epnp": 6, "epnp_min": 5, "p3p": 3}
 
 
 def pnp_ransac(
@@ -292,10 +292,11 @@ def pnp_ransac(
     """`solver` mirrors the reference's `solvePnP` config switch
     (`feature-tracker.cpp:513-531`): "dlt" ~ SOLVEPNP_ITERATIVE (6-point DLT
     hypotheses + GN polish), "epnp" ~ SOLVEPNP_EPNP (6-point EPnP
-    hypotheses), "epnp_min" ~ the P3P/AP3P family (reduced 5-point samples;
-    a closed-form quartic P3P is numerically hostile to batched f32, and
-    4-point EPnP needs the relinearized N=4 case — 5-point EPnP keeps the
-    minimal-sample spirit with robust batched math)."""
+    hypotheses), "p3p" ~ SOLVEPNP_P3P/AP3P (true 3-point Grunert quartic,
+    ops/p3p.py — each sample emits its up-to-4 closed-form solutions as
+    separate hypotheses and consensus scoring disambiguates), "epnp_min" =
+    reduced 5-point EPnP samples (the pre-round-3 stand-in for P3P, kept as
+    a robust fallback)."""
     n = obj.shape[0]
     dtype = obj.dtype
     fx, fy = k_mat[0, 0], k_mat[1, 1]
@@ -307,11 +308,21 @@ def pnp_ransac(
     probs = mask.astype(dtype)
     probs = probs / jnp.maximum(jnp.sum(probs), 1e-9)
     sample = SOLVER_SAMPLE_SIZE[solver]
-    idx = jax.random.choice(key, n, shape=(n_hypotheses, sample), p=probs)
-    if solver == "dlt":
-        r_h, t_h = _dlt_pose(obj[idx], img_n[idx])
+    if solver == "p3p":
+        # same hypothesis budget: n/4 triplet samples x 4 quartic roots
+        n_samples = max(n_hypotheses // 4, 1)
+        idx = jax.random.choice(key, n, shape=(n_samples, sample), p=probs)
+        from pose_estimation_tpu.ops.p3p import p3p_solve
+
+        r4, t4 = p3p_solve(obj[idx], img_n[idx])
+        r_h = r4.reshape(n_samples * 4, 3, 3)
+        t_h = t4.reshape(n_samples * 4, 3)
     else:
-        r_h, t_h = _epnp_pose(obj[idx], img_n[idx])
+        idx = jax.random.choice(key, n, shape=(n_hypotheses, sample), p=probs)
+        if solver == "dlt":
+            r_h, t_h = _dlt_pose(obj[idx], img_n[idx])
+        else:
+            r_h, t_h = _epnp_pose(obj[idx], img_n[idx])
 
     err2 = _reproj_err2(r_h, t_h, obj, img_n)        # [B, N]
     inl = (err2 < thr_n2) & mask[None, :]

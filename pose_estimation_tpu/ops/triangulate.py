@@ -50,7 +50,17 @@ def triangulate(
     px2: jnp.ndarray,  # [N,2] pixels in camera 2
 ) -> jnp.ndarray:
     """Returns homogeneous-normalized 3D points [N, 3] (camera-1 frame of the
-    projection matrices' common frame)."""
+    projection matrices' common frame).
+
+    Validity assumption: the adjugate null-vector equals eigh's smallest
+    eigenvector only when lambda_4 << lambda_3 (A^T A genuinely rank-3).
+    For near-degenerate pairs — near-zero disparity, far/duplicate points —
+    adj(A^T A) returns a blend of the two smallest eigenvectors, unlike
+    eigh, which still returns the true minimizer. Such points come out with
+    wrong (often huge or negative) depth, so the REQUIRED companions are the
+    callers' depth gates (`0 < z < max_depth`, `tracker.triangulate_current`
+    / `vio.sfm_step`), which drop exactly this population the same way the
+    reference drops them (`feature-tracker.cpp:369-380`)."""
     # DLT rows: x*P3 - P1, y*P3 - P2 for each view
     a = jnp.stack(
         [

@@ -9,6 +9,8 @@ from pose_estimation_tpu.io.ate import ate_rmse
 from pose_estimation_tpu.parallel.batched_slam import BatchedReplay
 from pose_estimation_tpu.slam import SensorType
 
+pytestmark = pytest.mark.slow  # long jit compiles; excluded from the fast tier
+
 
 @pytest.mark.slow
 def test_two_sequences_lockstep():

@@ -15,6 +15,8 @@ from sim import StereoInertialSim, sim_config
 from pose_estimation_tpu.io.ate import ate_rmse
 from pose_estimation_tpu.slam import State, VisualInertialSLAM
 
+pytestmark = pytest.mark.slow  # long jit compiles; excluded from the fast tier
+
 
 @pytest.fixture(scope="module")
 def run_result():

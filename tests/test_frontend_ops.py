@@ -406,6 +406,7 @@ class TestPnP:
         assert int(res.n_inliers) >= n_in * 0.95
 
 
+@pytest.mark.slow  # ~9 min of full-scale pyramid compiles; fast tier skips
 class TestExtractBatch:
     def test_batch_matches_single(self):
         """extract_batch over a stereo pair == per-image extract, exactly

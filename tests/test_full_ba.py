@@ -11,6 +11,10 @@ from pose_estimation_tpu.backend import full_ba
 from pose_estimation_tpu.models import window as win_mod
 from pose_estimation_tpu.utils import lie
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long jit compiles; excluded from the fast tier
+
 
 def make_window(seed=40, n_landmarks=60):
     wsize = 4

@@ -39,6 +39,7 @@ def run_batched(setup, data, model):
     return new_state, metrics
 
 
+@pytest.mark.slow  # 8-device mesh compiles; fast tier skips
 class TestBatchedStep:
     def test_dp_times_tp_mesh(self, setup):
         new_state, metrics = run_batched(setup, data=4, model=2)

@@ -17,6 +17,8 @@ from pose_estimation_tpu.backend import init_solvers
 from pose_estimation_tpu.imu.preintegration import ImuConstraint
 from pose_estimation_tpu.utils import lie
 
+pytestmark = pytest.mark.slow  # long jit compiles; excluded from the fast tier
+
 G = 9.81
 
 

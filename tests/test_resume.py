@@ -7,9 +7,11 @@ import numpy as np
 from sim import StereoInertialSim, sim_config
 
 from pose_estimation_tpu.slam import State, VisualInertialSLAM
+import pytest
 
 
 class TestResume:
+    @pytest.mark.slow  # two full replay compiles; fast tier skips
     def test_checkpoint_roundtrip_continues_identically(self, tmp_path):
         cfg = sim_config(keyframe_rotation=0.1, keyframe_translation=0.15)
         sim = StereoInertialSim(cfg, n_landmarks=150, seed=0)

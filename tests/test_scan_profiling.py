@@ -9,8 +9,10 @@ import numpy as np
 from pose_estimation_tpu.camera import CameraModel
 from pose_estimation_tpu.models import vio as vio_mod
 from pose_estimation_tpu.testing import tiny_config
+import pytest
 
 
+@pytest.mark.slow  # scan-over-frames compile; fast tier skips
 class TestOkScan:
     def test_matches_sequential_steps(self):
         cfg = tiny_config()
