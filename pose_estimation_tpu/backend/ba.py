@@ -154,16 +154,35 @@ def _prep(
     lts_imu = res.whitener(win.ics.inv_cov)                     # [W,15,15]
     lts_pri = res.whitener(win.ics.inv_cov * prior_factor)
 
+    # The prior residual IS the IMU residual with frame i's increments
+    # frozen at zero and a priorFactor-scaled whitener (compare
+    # `cost-functions.hpp:22-133` vs `:250-445`), so ONE masked vmapped
+    # chain evaluates both roles: per-pair whitener selected by role, the
+    # i-side increments and the committed-bias offsets zeroed at the
+    # anchor. This halves the op count of the LM loop body (which is what
+    # per-frame solver latency is made of on this chip) vs evaluating two
+    # separate residual chains and selecting.
+    active = is_imu | is_prior
+    lts = jnp.where(is_prior[:, None, None], lts_pri, lts_imu)
+    i_live = (~is_prior).astype(dtype)[:, None]
+    off_bg_m = off_bg * i_live
+    off_ba_m = off_ba * i_live
+
     def pairs_residual(x):
         """Whitened prior/IMU pair residuals at increments x -> [W, 15]
         (inactive pairs zeroed)."""
         dpose = x[0 : 6 * wsize].reshape(wsize, 6)
         dvdbga = x[6 * wsize :].reshape(wsize, 9)
-        # increments of frame i (= param block k-1; zero for the first pair)
-        dpose_i = jnp.concatenate([jnp.zeros((1, 6), dtype), dpose[:-1]], 0)
-        dvdbga_i = jnp.concatenate([jnp.zeros((1, 9), dtype), dvdbga[:-1]], 0)
+        # increments of frame i (= param block k-1; zero for the first
+        # pair, frozen for the anchor's prior role)
+        dpose_i = (
+            jnp.concatenate([jnp.zeros((1, 6), dtype), dpose[:-1]], 0) * i_live
+        )
+        dvdbga_i = (
+            jnp.concatenate([jnp.zeros((1, 9), dtype), dvdbga[:-1]], 0) * i_live
+        )
 
-        r_imu = jax.vmap(
+        r = jax.vmap(
             res.imu_residual, in_axes=(0,) * 20 + (0, None, 0, 0, 0)
         )(
             dpose_i[:, 0:3], dpose_i[:, 3:6],
@@ -172,20 +191,9 @@ def _prep(
             dvdbga[:, 0:3], dvdbga[:, 3:6], dvdbga[:, 6:9],
             R_i, p_i, v_i, dbg_i, dba_i,
             R_j, p_j, v_j, dbg_j, dba_j,
-            win.ics, gravity, lts_imu, off_bg, off_ba,
+            win.ics, gravity, lts, off_bg_m, off_ba_m,
         )
-        r_pri = jax.vmap(
-            res.prior_residual, in_axes=(0,) * 15 + (0, None, None, 0)
-        )(
-            dpose[:, 0:3], dpose[:, 3:6],
-            dvdbga[:, 0:3], dvdbga[:, 3:6], dvdbga[:, 6:9],
-            R_i, p_i, v_i, dbg_i, dba_i,
-            R_j, p_j, v_j, dbg_j, dba_j,
-            win.ics, gravity, prior_factor, lts_pri,
-        )
-        return jnp.where(
-            is_imu[:, None], r_imu, jnp.where(is_prior[:, None], r_pri, 0.0)
-        )
+        return jnp.where(active[:, None], r, 0.0)
 
     aux = {
         "num_landmarks": jnp.sum(lm_valid),

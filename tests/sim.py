@@ -195,3 +195,63 @@ class StereoInertialSim:
                 slam.process(img_l, img_r, ts)
                 gt.append([ts, *self.traj.pos(t)])
         return np.array(gt)
+
+
+def sim_world(cfg: VIOConfig, n_frames: int, frame_hz: float | None = None,
+              imu_noise: float = 2.4e-3, n_landmarks: int = 400, seed: int = 0,
+              t0: float = 0.5):
+    """Pre-rendered consistent world: frames + per-frame IMU chunks + true
+    start states, for drivers that feed `ok_step` directly (bench.py, the
+    multichip dryrun, sharding-equality tests) instead of the host FSM.
+
+    Returns (frames [(l, r) jnp-arrays], gyrs [n][M, 3], accs [n][M, 3],
+    imu_mask [M], state0(j) -> (R, p, v) at frame j's predecessor time).
+    frame_hz defaults to cfg.camera_frequency; the implied samples-per-frame
+    must fit cfg.imu_chunk.
+    """
+    import jax.numpy as jnp
+
+    sim = StereoInertialSim(cfg, n_landmarks=n_landmarks, seed=seed)
+    nrng = np.random.default_rng(seed + 1)
+    hz = frame_hz or cfg.camera_frequency
+    spf = int(round(cfg.sampling_rate / hz))
+    m = cfg.imu_chunk
+    assert spf <= m, (spf, m)
+    frames, gyrs, accs = [], [], []
+    for i in range(n_frames):
+        t = t0 + i / hz
+        img_l, img_r = sim.render(t)
+        frames.append((jnp.asarray(img_l), jnp.asarray(img_r)))
+        g = np.zeros((m, 3), np.float32)
+        a = np.zeros((m, 3), np.float32)
+        for k in range(spf):
+            ts = t - (spf - 1 - k) * cfg.dt
+            w_b, f_b = sim.imu_at(ts)
+            g[k] = w_b + nrng.normal(0, imu_noise, 3)
+            a[k] = f_b + nrng.normal(0, imu_noise * 10, 3)
+        gyrs.append(jnp.asarray(g))
+        accs.append(jnp.asarray(a))
+    mask = jnp.arange(m) < spf
+
+    def state0(j):
+        t = t0 + (j - 1) / hz
+        return sim.traj.rot(t), sim.traj.pos(t), sim.vel_at(t)
+
+    return frames, gyrs, accs, mask, state0
+
+
+def seeded_state(static, state0, j=0):
+    """Fresh VIOState whose window is pinned at frame j's true start pose
+    (the bench/dryrun stand-in for the host FSM's SYNC/SFM/INIT phases)."""
+    import jax.numpy as jnp
+
+    from pose_estimation_tpu.models import vio as vio_mod
+
+    base = vio_mod.init_vio_state(static)
+    r0, p0, v0 = state0(j)
+    wlen = base.win.R.shape[0]
+    return base._replace(win=base.win._replace(
+        R=jnp.asarray(np.broadcast_to(r0, (wlen, 3, 3)), jnp.float32),
+        p=jnp.asarray(np.broadcast_to(p0, (wlen, 3)), jnp.float32),
+        v=jnp.asarray(np.broadcast_to(v0, (wlen, 3)), jnp.float32),
+    ))
