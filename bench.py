@@ -61,10 +61,19 @@ def supervise():
             log(f"[bench] retry {attempt} after TPU fault; waiting for recovery...")
             time.sleep(150)
         env = dict(os.environ, BENCH_WORKER="1")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired as e:
+            # a hung tunnel (e.g. backend init never returns) counts as a
+            # failed attempt, not a crash of the supervisor
+            for s in (e.stderr or b""), (e.stdout or b""):
+                if s:
+                    sys.stderr.write(s if isinstance(s, str) else s.decode())
+            log(f"[bench] attempt {attempt} timed out after 1800s")
+            continue
         sys.stderr.write(proc.stderr)
         for line in proc.stdout.splitlines():
             if line.startswith("{"):

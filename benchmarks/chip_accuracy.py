@@ -44,10 +44,17 @@ def supervise() -> int:
             log(f"[chip_accuracy] retry {attempt} after TPU fault; waiting...")
             time.sleep(150)
         env = dict(os.environ, CHIP_ACC_WORKER="1")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired as e:
+            for s in (e.stderr or b""), (e.stdout or b""):
+                if s:
+                    sys.stderr.write(s if isinstance(s, str) else s.decode())
+            log(f"[chip_accuracy] attempt {attempt} timed out after 3600s")
+            continue
         sys.stderr.write(proc.stderr)
         for line in proc.stdout.splitlines():
             if line.startswith("{"):

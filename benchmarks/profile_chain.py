@@ -170,27 +170,24 @@ def extract_sub(depth):
         if depth >= 4:
             feats = orb.extract_batch(imgs, ocfg)
             return feats.xy[0, 0, 0]
-        ra, ca = orb._pyramid_mats(h, w, ocfg)
-        lv = jnp.einsum("lrh,bhw->lbrw", ra, imgs, precision="highest")
-        lv = jnp.einsum("lbrw,lwc->lbrc", lv, ca, precision="highest")
-        stack = jnp.concatenate([imgs[None], lv], axis=0).reshape(nl * b, h, w)
+        stack = orb.pyramid_stack(imgs, ocfg)
         if depth == 1:
             return stack[0, 0, 0]
         bounds = [shapes[p // b] for p in range(nl * b)]
         if depth == 2:
             from pose_estimation_tpu.ops.pallas_fast import fast_select_pallas
 
-            raw, flat_s, flat_code = fast_select_pallas(
+            flat_s, flat_code, flat_x, flat_y = fast_select_pallas(
                 stack, bounds, ocfg.th_hi, ocfg.th_lo, orb.EDGE,
                 ocfg.k_per_cell, False, compute_dtype=jnp.bfloat16,
             )
-            return raw[0, 0, 0] + flat_s[0, 0] + flat_code[0, 0]
+            return flat_s[0, 0] + flat_code[0, 0] + flat_x[0, 0] + flat_y[0, 0]
         kps = fast_mod.select_keypoints_fused(
             stack, bounds, ocfg.th_hi, ocfg.th_lo, budgets[0],
             border=orb.EDGE, k_per_cell=ocfg.k_per_cell,
             compute_dtype=jnp.bfloat16,
         )
-        return kps.xy[0, 0] + kps.score[0]
+        return kps.xy[0, 0, 0] + kps.score[0, 0]
 
     return step
 

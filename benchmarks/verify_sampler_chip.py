@@ -51,10 +51,7 @@ def main():
     # past 0.1 rad at weak-moment keypoints and would mask kernel bugs)
     budgets = orb.level_budgets(cfg_x)
     nl = cfg_x.n_levels
-    ra, ca = orb._pyramid_mats(h, w, cfg_x)
-    lv = jnp.einsum("lrh,bhw->lbrw", ra, imgs, precision="highest")
-    lv = jnp.einsum("lbrw,lwc->lbrc", lv, ca, precision="highest")
-    stack = jnp.concatenate([imgs[None], lv], axis=0).reshape(nl * 2, h, w)
+    stack = orb.pyramid_stack(imgs, cfg_x)
     k_tot = sum(budgets)
     scale = np.concatenate(
         [np.full(budgets[l], cfg_x.scale**l) for l in range(nl)]

@@ -125,6 +125,14 @@ def insert_features(
         out = jnp.concatenate([arr, pad], axis=0).at[safe_t].set(vals)
         return out[:p]
 
+    from pose_estimation_tpu.ops import matching as match_mod
+
+    def scat_desc(arr, vals):
+        # 256-wide descriptor rows: one-hot MXU matmul instead of a row
+        # scatter (~6 ms per million scattered elements on this chip);
+        # targets == p (rejected requests) fall outside [0, P) and drop
+        return match_mod.scatter_rows_mxu(arr, safe_t, vals)
+
     fids = pool.next_fid + want_rank.astype(jnp.int32)
     new_obs_px = jnp.zeros(pool.obs_px.shape[1:], pool.obs_px.dtype)
     new_obs_px = jnp.broadcast_to(new_obs_px, (want.shape[0],) + new_obs_px.shape)
@@ -136,8 +144,8 @@ def insert_features(
         valid=scat(pool.valid, jnp.ones_like(want)),
         age=scat(pool.age, jnp.zeros(want.shape[0], jnp.int32)),
         pixel=scat(pool.pixel, new_px_l),
-        desc_l=scat(pool.desc_l, new_desc_l),
-        desc_r=scat(pool.desc_r, new_desc_r),
+        desc_l=scat_desc(pool.desc_l, new_desc_l),
+        desc_r=scat_desc(pool.desc_r, new_desc_r),
         pos=scat(pool.pos, new_pos),
         fid=scat(pool.fid, fids),
         next_fid=pool.next_fid + jnp.sum(want).astype(jnp.int32),

@@ -201,52 +201,89 @@ def select_keypoints_fused(
     k_per_cell: int = 4,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    plane_topk: str = "bisect",
 ) -> Keypoints:
     """`select_keypoints_batched` with the FAST score + NMS + gating +
-    per-cell top-k all fused into one Pallas kernel
+    per-cell top-k + SUBPIXEL refinement all fused into one Pallas kernel
     (`pallas_fast.fast_select_pallas`); input is the IMAGE plane stack, not
-    a score map. Only the plane-level top-k sort and the keypoint-sparse
-    subpixel refinement remain in XLA. Selection results are identical to
-    the unfused path (same gates, same raster tie-breaks); with
-    compute_dtype=bfloat16 that equality is exact on integer-valued planes
-    and holds up to <= 0.5-intensity score rounding on fractional ones."""
+    a score map. Only the plane-level top-k remains in XLA — by default the
+    bisection form (`topk_bisect`; exact at bf16 score quantization), or
+    `plane_topk="sort"` for `lax.top_k`. Results are identical to the
+    unfused path (same gates, same raster tie-breaks, same quadratic
+    subpixel fit evaluated in-kernel); with compute_dtype=bfloat16 that
+    equality is exact on integer-valued planes and holds up to
+    <= 0.5-intensity score rounding on fractional ones."""
     from pose_estimation_tpu.ops.pallas_fast import fast_select_pallas
 
-    n, h, w = score_stack_src.shape
     neg = jnp.float32(-1e9)
-    raw, flat_s, flat_code = fast_select_pallas(
+    flat_s, _flat_code, flat_x, flat_y = fast_select_pallas(
         score_stack_src, bounds, th_hi, th_lo, border, k_per_cell, interpret,
         compute_dtype=compute_dtype,
     )
     k_max = min(k_max, flat_s.shape[1])
-    g_s, g_i = _topk(flat_s, k_max)
-    gcode = jnp.take_along_axis(flat_code, g_i, axis=1)
-    gy = gcode // w
-    gx = gcode % w
-
-    sub_src = raw.reshape(n, h * w)
-
-    # all 5 stencil samples in ONE gather ([n, 5*k] indices) — five separate
-    # take_along_axis calls each pay the per-gather overhead on this chip
-    offs = jnp.stack([gx, gx - 1, gx + 1, gx, gx], axis=1)      # [n, 5, k]
-    offy = jnp.stack([gy, gy, gy, gy - 1, gy + 1], axis=1)
-    idx = (
-        jnp.clip(offy, 0, h - 1) * w + jnp.clip(offs, 0, w - 1)
-    ).reshape(n, -1)
-    s5 = jnp.take_along_axis(sub_src, idx, axis=1).reshape(n, 5, -1)
-    s0, sl, sr, su, sd = (s5[:, i] for i in range(5))
-
-    def para(sm, s0, sp):
-        den = sm - 2.0 * s0 + sp
-        off = jnp.where(jnp.abs(den) > 1e-6, 0.5 * (sm - sp) / den, 0.0)
-        return jnp.clip(off, -0.5, 0.5)
-
-    dx = para(sl, s0, sr)
-    dy = para(su, s0, sd)
-    xy = jnp.stack(
-        [gx.astype(jnp.float32) + dx, gy.astype(jnp.float32) + dy], axis=-1
-    )
+    if plane_topk == "bisect":
+        g_s, (gx, gy) = topk_bisect(flat_s, (flat_x, flat_y), k_max)
+    else:
+        g_s, g_i = _topk(flat_s, k_max)
+        gx = jnp.take_along_axis(flat_x, g_i, axis=1)
+        gy = jnp.take_along_axis(flat_y, g_i, axis=1)
+    xy = jnp.stack([gx, gy], axis=-1)
     return Keypoints(xy=xy, score=g_s, valid=g_s > neg / 2)
+
+
+def topk_bisect(flat_s: jnp.ndarray, payloads, k: int,
+                hi0: float = 512.0, iters: int = 24):
+    """Top-k of flat_s [N, C] along axis 1, sorted descending, plus the
+    matching rows of each payload — WITHOUT a full-length sort.
+
+    `lax.top_k` lowers to a full O(C log C) sort on TPU (~4.6 ms at
+    [16, 1410, 256]-class shapes, NOTES.md); this does a 24-step bisection
+    on the k-th value (24 masked counts over [N, C]), a cumsum-rank scatter
+    compaction of the ~k survivors, and a small top-k sort of the
+    compacted [N, k] block.
+
+    EXACTNESS: identical to `lax.top_k` (including lower-index tie-breaks)
+    whenever distinct score values are separated by more than hi0 / 2^iters
+    = 3e-5: within the final bisection interval every candidate value is
+    then exactly equal, and both methods fill the tail slots in ascending
+    index order. FAST scores from the bf16 fused kernel are bf16-quantized
+    with spacing >= 0.0156 at score >= 4 (th_lo is 7), so the production
+    path is bit-exact; arbitrary f32 scores can differ from top_k only by
+    swaps among candidates < 3e-5 apart.
+
+    Scores must lie in [0, hi0) or be the _NEG invalid sentinel. Returns
+    (vals [N, k], [payload [N, k], ...]); slots past the number of
+    positive-score candidates carry val == _NEG and payload == 0.
+    """
+    import jax
+
+    n, c = flat_s.shape
+    neg = jnp.float32(-1e9)
+    lo = jnp.zeros((n, 1), flat_s.dtype)
+    hi = jnp.full((n, 1), hi0, flat_s.dtype)
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        take = jnp.sum(flat_s > mid, axis=1, keepdims=True) >= k
+        lo = jnp.where(take, mid, lo)
+        hi = jnp.where(take, hi, mid)
+    # invariant: count(> lo) >= k (or lo == 0), count(> hi) < k
+    gt = flat_s > hi
+    n_gt = jnp.sum(gt, axis=1, keepdims=True)
+    eq = (flat_s > lo) & ~gt                 # k-th-value ties
+    fill = jnp.cumsum(eq.astype(jnp.int32), axis=1) <= (k - n_gt)
+    sel = gt | (eq & fill)
+    rank = jnp.cumsum(sel.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(sel, rank, k)            # unselected -> dropped col k
+    rows = jnp.arange(n)[:, None]
+    comp_s = jnp.full((n, k + 1), neg, flat_s.dtype).at[rows, tgt].set(
+        jnp.where(sel, flat_s, neg)
+    )[:, :k]
+    vals, idx = _topk(comp_s, k)             # sort k, not C
+    outs = []
+    for p in payloads:
+        compp = jnp.zeros((n, k + 1), p.dtype).at[rows, tgt].set(p)[:, :k]
+        outs.append(jnp.take_along_axis(compp, idx, axis=1))
+    return vals, outs
 
 
 def _topk_iter(x: jnp.ndarray, k: int):

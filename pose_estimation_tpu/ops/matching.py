@@ -37,6 +37,44 @@ def hamming_table(query: jnp.ndarray, train: jnp.ndarray) -> jnp.ndarray:
     return (DESC_BITS - dots).astype(jnp.float32) * 0.5
 
 
+def select_rows_mxu(
+    table: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """table[idx] * valid[:, None] as ONE one-hot int8 MXU matmul.
+
+    table [K, D] int8, idx [M] int32 in [0, K), valid [M] bool -> [M, D]
+    int8. Row gathers of 256-wide descriptors cost ~6 ms per million
+    gathered elements on this chip (NOTES.md); the equivalent indicator
+    matmul is a few dozen microseconds of MXU time and EXACT (integer
+    dot products select single rows). Invalid rows come out zero."""
+    k = table.shape[0]
+    oh = (
+        (idx[:, None] == jnp.arange(k, dtype=idx.dtype)[None, :])
+        & valid[:, None]
+    ).astype(jnp.int8)
+    sel = jnp.dot(oh, table, preferred_element_type=jnp.int32)
+    return sel.astype(table.dtype)
+
+
+def scatter_rows_mxu(
+    dest: jnp.ndarray, target: jnp.ndarray, vals: jnp.ndarray
+) -> jnp.ndarray:
+    """dest.at[target].set(vals) with unique in-range targets, as one
+    one-hot int8 MXU matmul (same ~6 ms/M-element scatter avoidance as
+    `select_rows_mxu`).
+
+    dest [P, D] int8, target [M] int32 (rows with target >= P are
+    dropped), vals [M, D] int8 -> [P, D] int8. Targets < P must be unique
+    (the callers' compaction ranks guarantee it)."""
+    p = dest.shape[0]
+    oh = (
+        target[:, None] == jnp.arange(p, dtype=target.dtype)[None, :]
+    ).astype(jnp.int8)                                        # [M, P]
+    ins = jnp.dot(oh.T, vals, preferred_element_type=jnp.int32)
+    hit = jnp.sum(oh.astype(jnp.int32), axis=0) > 0           # [P]
+    return jnp.where(hit[:, None], ins.astype(dest.dtype), dest)
+
+
 class MatchResult(NamedTuple):
     index: jnp.ndarray   # [N] best train index per query
     dist: jnp.ndarray    # [N] its Hamming distance

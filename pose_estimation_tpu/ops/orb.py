@@ -498,22 +498,47 @@ def _pool_sampler(interpret: bool):
 
 
 def _pyramid_mats(h: int, w: int, cfg: OrbConfig):
-    """([nl-1, H, H] row, [nl-1, W, W] col) stacked per-level bilinear
-    weight matrices for levels 1..nl-1 (level 0 is the input itself)."""
+    """Per-level CONTENT-shaped bilinear weight matrices for levels
+    1..nl-1: list of (ra [lh, h], ca [w, lw]) numpy pairs (level 0 is the
+    input itself). Content shapes keep the resampling matmuls ~4.8x
+    smaller than the padded-canvas form (the canvas is ~2.2x over-content
+    and the square [H, H] x [W, W] products were ~4.8x the content
+    FLOPs); the zero canvas rows/cols are applied by padding AFTER."""
     key = (h, w, cfg.n_levels, cfg.scale)
     if key not in _PYR_MATS:
         shapes = pyramid_shapes(h, w, cfg)
-        ra = np.stack(
-            [_bilinear_rows(lh, h, h) for lh, _ in shapes[1:]]
-        )
-        ca = np.stack(
-            [_bilinear_rows(lw, w, w).T for _, lw in shapes[1:]]
-        )
         # cache NUMPY, not device arrays: a jnp constant created while a jit
         # trace is active is a tracer, and caching it leaks across traces
-        _PYR_MATS[key] = (ra, ca)
-    ra, ca = _PYR_MATS[key]
-    return jnp.asarray(ra), jnp.asarray(ca)
+        _PYR_MATS[key] = [
+            (_bilinear_rows(lh, lh, h), _bilinear_rows(lw, lw, w).T)
+            for lh, lw in shapes[1:]
+        ]
+    return _PYR_MATS[key]
+
+
+def pyramid_stack(imgs: jnp.ndarray, cfg: OrbConfig) -> jnp.ndarray:
+    """[B, H, W] images -> [n_levels * B, H, W] level-major plane stack.
+
+    Each level l >= 1 is resampled from level 0 by two content-shaped
+    einsums (cv::resize INTER_LINEAR semantics — the reference's
+    ComputePyramid, `ORBextractor.cc:1107-1132`) and zero-padded into the
+    canvas corner. Bit-identical to the former stacked full-canvas einsum
+    pair (same per-element dot products; padded rows/cols are zero in
+    both). HIGHEST precision keeps the MXU passes f32-accurate (bf16
+    rounding would be ~0.5 intensity units)."""
+    b, h, w = imgs.shape
+    nl = cfg.n_levels
+    parts = [imgs]
+    for ra, ca in _pyramid_mats(h, w, cfg):
+        lv = jnp.einsum(
+            "rh,bhw->brw", jnp.asarray(ra), imgs, precision="highest"
+        )
+        lv = jnp.einsum(
+            "brw,wc->brc", lv, jnp.asarray(ca), precision="highest"
+        )
+        lh, lw = lv.shape[1], lv.shape[2]
+        parts.append(jnp.pad(lv, ((0, 0), (0, h - lh), (0, w - lw))))
+    return jnp.concatenate(parts, axis=0)
 
 
 def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
@@ -543,19 +568,9 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     shapes = pyramid_shapes(h, w, cfg)
     nl = cfg.n_levels
 
-    # All downsampled levels in TWO batched matmuls: per-level bilinear
-    # resampling is a (sparse, static) row-weight matrix x image x
-    # col-weight matrix product, and stacking the per-level weight matrices
-    # (zero-padded to the canvas size, so the level-content zero padding
-    # falls out for free) turns the 8-level resize chain into one einsum
-    # pair — ~5 top-level HLO ops instead of ~80 on the per-op-dispatch-
-    # bound chip. Plain bilinear (cv::resize INTER_LINEAR semantics, the
-    # reference's ComputePyramid `ORBextractor.cc:1107-1132`), sampled from
-    # level 0 for every level; HIGHEST precision keeps the MXU passes
-    # f32-accurate (bf16 rounding would be ~0.5 intensity units).
-    ra, ca = _pyramid_mats(h, w, cfg)
-    lv = jnp.einsum("lrh,bhw->lbrw", ra, imgs, precision="highest")
-    lv = jnp.einsum("lbrw,lwc->lbrc", lv, ca, precision="highest")
+    # All downsampled levels via per-level content-shaped einsum pairs
+    # (see pyramid_stack): per-level bilinear resampling is a (sparse,
+    # static) row-weight matrix x image x col-weight matrix product.
     # The pyramid stays full-precision f32 (the reference quantizes every
     # level to uint8 — cv::resize CV_8U, `ORBextractor.cc:1107-1132` — and
     # measurably loses tracking accuracy for it on the rendered simulator:
@@ -565,7 +580,7 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     # diffs <= 255 fit bf16's 8-bit mantissa) and carry <= 0.5-intensity
     # rounding on resampled levels — strictly less perturbation than the
     # reference's own uint8 pyramid.
-    stack = jnp.concatenate([imgs[None], lv], axis=0).reshape(nl * b, h, w)
+    stack = pyramid_stack(imgs, cfg)
     bounds = [shapes[p // b] for p in range(nl * b)]
 
     if cfg.fast_backend == "pallas" and w % 16 == 0 and cfg.cell == 16:

@@ -158,8 +158,8 @@ def _seg_all(x, op, seg: int):
 
 
 def _select_kernel(
-    dims_ref, plane_ref, band_ref, img_ref, raw_ref, val_ref, pos_ref, *,
-    band: int, cell: int, width: int,
+    dims_ref, plane_ref, band_ref, img_ref, val_ref, pos_ref, x_ref, y_ref,
+    *, band: int, cell: int, width: int,
     th_hi: float, th_lo: float, border: int, kpc: int,
     compute_dtype=jnp.float32,
 ):
@@ -171,10 +171,14 @@ def _select_kernel(
     Replaces the masked-score-map write + the host-side cell reshape +
     `kpc` argmax/mask passes of `fast.select_keypoints_batched` (~12
     full-stack HBM passes, the largest measured chunk of the extraction
-    step). Outputs: the raw score band (subpixel refinement samples it
-    later, keypoint-sparse) and per-cell top-k (score, flat-position) with
-    every lane of a cell's segment carrying that cell's value (the host
-    wrapper strided-slices lane 0 of each segment).
+    step). Outputs per selected candidate: score, flat-position code, and
+    SUBPIXEL-refined (x, y) — the 1-D quadratic fit runs in-kernel on the
+    score band (the stencil rows/columns are all VMEM-resident), which
+    deletes both the full raw-score HBM output and the keypoint-sparse
+    5-point stencil gather that used to consume it (~26 ms per million
+    gathered elements on this chip). Every lane of a cell's segment
+    carries that cell's value (the host wrapper strided-slices lane 0 of
+    each segment).
 
     Selection semantics are exactly `select_keypoints_batched`'s: a cell
     with max > th_hi keeps only scores > th_hi, else scores > th_lo; ties
@@ -246,8 +250,6 @@ def _select_kernel(
             nb = nshift(score, dy, dx)
             keep = keep & ((c > nb) if strictly_before else (c >= nb))
 
-    raw_ref[0, :, :] = c.astype(raw_ref.dtype)
-
     # ---- gating: NMS survivors, positive score, inside the per-plane
     # detection border (content sizes from SMEM)
     lane = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
@@ -260,6 +262,22 @@ def _select_kernel(
     zero = jnp.float32(0.0)
     s = jnp.where(keep & (c > zero) & inb, c, neg)
 
+    # ---- subpixel maps: 1-D quadratic fit per axis on the raw score,
+    # same formula as fast.select_keypoints* (values identical: rows r-1
+    # and r+1 are score[0:band] / score[2:band+2]; lane rolls never wrap
+    # for gated detections, which sit >= border=19 lanes inside)
+    def para(sm, s0, sp):
+        den = sm - 2.0 * s0 + sp
+        off = jnp.where(jnp.abs(den) > 1e-6, 0.5 * (sm - sp) / den, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    xq = lane.astype(jnp.float32) + para(
+        jnp.roll(c, 1, axis=1), c, jnp.roll(c, -1, axis=1)
+    )
+    yq = row_g.astype(jnp.float32) + para(
+        score[0:band], c, score[2 : band + 2]
+    )
+
     # flat-position tie-break codes stay f32 (codes reach H*W ~ 3.6e5,
     # needing the full 24-bit mantissa)
     code = (row_g * width + lane).astype(jnp.float32)       # < 2^24, exact
@@ -269,6 +287,8 @@ def _select_kernel(
     for cr in range(band // cell):
         sh = s[cr * cell : (cr + 1) * cell]
         codeh = code[cr * cell : (cr + 1) * cell]
+        xq_h = xq[cr * cell : (cr + 1) * cell]
+        yq_h = yq[cr * cell : (cr + 1) * cell]
         rowmax = jnp.max(sh, axis=0, keepdims=True)
         cellmax = _seg_all(rowmax, jnp.maximum, cell)       # [1, W] bcast
         # select the THRESHOLD value, not boolean vectors: Mosaic cannot
@@ -285,9 +305,23 @@ def _select_kernel(
             pcode = jnp.where(is_max, codeh, big)
             rmin = jnp.min(pcode, axis=0, keepdims=True)
             cmin = _seg_all(rmin, jnp.minimum, cell)        # [1, W]
+            # extract the picked pixel's subpixel coords: `picked` is
+            # one-hot within the cell block (codes are globally unique;
+            # invalid cells have cmin == big, matching nothing -> 0)
+            picked = codeh == cmin
+            xk = _seg_all(
+                jnp.sum(jnp.where(picked, xq_h, zero), axis=0,
+                        keepdims=True), jnp.add, cell,
+            )
+            yk = _seg_all(
+                jnp.sum(jnp.where(picked, yq_h, zero), axis=0,
+                        keepdims=True), jnp.add, cell,
+            )
             val_ref[0, cr, k, :] = cmax[0]
             pos_ref[0, cr, k, :] = cmin[0]
-            cand = jnp.where(codeh == cmin, neg, cand)
+            x_ref[0, cr, k, :] = xk[0]
+            y_ref[0, cr, k, :] = yk[0]
+            cand = jnp.where(picked, neg, cand)
 
 
 def fast_select_pallas(
@@ -299,20 +333,22 @@ def fast_select_pallas(
     k_per_cell: int = 4,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    band: int = 32,
 ):
     """Fused FAST score + NMS + per-cell top-k for a plane stack [N, H, W].
 
-    Returns (raw_score [N, H, W], vals [N, n_cells_total, kpc], codes
-    [N, n_cells_total, kpc] int32 flat y*W+x positions); invalid slots have
-    vals == -1e9. Requires W % 16 == 0 (the lane-segment allreduce);
-    callers fall back to the unfused path otherwise.
+    Returns (vals [N, C], codes [N, C] int32 flat y*W+x positions,
+    xs [N, C], ys [N, C] subpixel-refined coords), C = n_cells_total *
+    kpc; invalid slots have vals == -1e9 and xs == ys == 0. Requires
+    W % 16 == 0 (the lane-segment allreduce); callers fall back to the
+    unfused path otherwise.
 
     compute_dtype=jnp.bfloat16 halves the score chain's vector-register
     footprint; bit-exact vs float32 on integer-valued planes, <= 0.5
     intensity score rounding on fractional ones (see `_select_kernel`)."""
     n, h, w = stack.shape
     cell = 16                      # selection cell size (lane segments)
-    band = 32                      # rows per program (band // cell cell-rows)
+    assert band % cell == 0       # rows per program (band // cell cell-rows)
     assert w % cell == 0, "fused select needs W % 16 == 0"
     n_sub = band // cell
     hp = -(-h // band) * band
@@ -338,7 +374,7 @@ def fast_select_pallas(
         else:
             runs.append((p, p + 1, wc))
 
-    raw_parts, val_parts, code_parts = [], [], []
+    val_parts, code_parts, x_parts, y_parts = [], [], [], []
     max_cand = max(n_cr * (wc // cell) * k_per_cell for _, _, wc in runs)
     for start, end, w_c in runs:
         n_r = end - start
@@ -371,42 +407,36 @@ def fast_select_pallas(
                     lambda g, d, pp, pb, s=start: (s + pp[g], 0, 0),
                 ),
             ],
-            out_specs=(
-                pl.BlockSpec(
-                    (1, band, w_c), lambda g, d, pp, pb: (pp[g], pb[g], 0)
-                ),
+            out_specs=tuple(
                 pl.BlockSpec(
                     (1, n_sub, k_per_cell, w_c),
                     lambda g, d, pp, pb: (pp[g], pb[g], 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, n_sub, k_per_cell, w_c),
-                    lambda g, d, pp, pb: (pp[g], pb[g], 0, 0),
-                ),
+                )
+                for _ in range(4)
             ),
         )
         # `width=w` keeps position codes in GLOBAL canvas coordinates
-        raw_r, vals_r, codes_r = pl.pallas_call(
+        vals_r, codes_r, xs_r, ys_r = pl.pallas_call(
             functools.partial(
                 _select_kernel, band=band, cell=cell, width=w,
                 th_hi=float(th_hi), th_lo=float(th_lo), border=int(border),
                 kpc=int(k_per_cell), compute_dtype=compute_dtype,
             ),
             grid_spec=grid_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct((n_r, hp, w_c), stack.dtype),
-                jax.ShapeDtypeStruct((n_r, n_cr, k_per_cell, w_c), jnp.float32),
-                jax.ShapeDtypeStruct((n_r, n_cr, k_per_cell, w_c), jnp.float32),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((n_r, n_cr, k_per_cell, w_c), jnp.float32)
+                for _ in range(4)
             ),
             interpret=interpret,
         )(dims, jnp.asarray(prog_plane), jnp.asarray(prog_band), img_p)
 
-        # lane 0 of each 16-lane segment carries its cell's (value, pos)
-        vals_r = vals_r[..., ::cell].transpose(0, 1, 3, 2)  # [nr,ncr,ncx,kpc]
-        codes_r = codes_r[..., ::cell].transpose(0, 1, 3, 2)
+        # lane 0 of each 16-lane segment carries its cell's values
+        def seg0(a):
+            a = a[..., ::cell].transpose(0, 1, 3, 2)  # [nr, ncr, ncx, kpc]
+            return a.reshape(n_r, n_cr * ncx_c * k_per_cell)
+
+        vals_r, codes_r, xs_r, ys_r = map(seg0, (vals_r, codes_r, xs_r, ys_r))
         n_cand = n_cr * ncx_c * k_per_cell
-        vals_r = vals_r.reshape(n_r, n_cand)
-        codes_r = codes_r.reshape(n_r, n_cand)
         # slots of never-launched bands are uninitialized memory — mask
         # them with the same static band list before anything consumes them
         written = np.zeros((n_r, n_cr), bool)
@@ -414,32 +444,30 @@ def fast_select_pallas(
             written[p, : nb * n_sub] = True
         wmask = jnp.asarray(np.repeat(written, ncx_c * k_per_cell, axis=1))
         vals_r = jnp.where(wmask, vals_r, _NEG)
+        xs_r = jnp.where(wmask, xs_r, 0.0)
+        ys_r = jnp.where(wmask, ys_r, 0.0)
         # Invalid slots (no candidate passed the gates, val == _NEG) carry
-        # the 3e9 tie-break sentinel, which would clip to flat position
-        # h*w-1 — row h-1 of the raw buffer, an UNWRITTEN band on short
-        # pyramid planes (only content bands are launched). Route every
-        # invalid code to position 0 instead (band 0 is launched for every
-        # plane), so downstream subpixel gathers only read initialized
-        # memory; the slots are score-invalid and masked downstream either
-        # way. Clip BEFORE the int32 cast (float->int overflow is
-        # unspecified).
+        # the 3e9 tie-break sentinel; route them to position 0 (their
+        # subpixel coords are already 0 from the in-kernel one-hot sum).
+        # Clip BEFORE the int32 cast (float->int overflow is unspecified).
         codes_r = jnp.clip(
             jnp.where(vals_r > _NEG / 2, codes_r, 0.0), 0.0, float(h * w - 1)
         ).astype(jnp.int32)
-        raw_parts.append(
-            jnp.pad(raw_r[:, :h], ((0, 0), (0, 0), (0, w - w_c)))
-        )
-        val_parts.append(
-            jnp.pad(vals_r, ((0, 0), (0, max_cand - n_cand)),
-                    constant_values=_NEG)
-        )
-        code_parts.append(
-            jnp.pad(codes_r, ((0, 0), (0, max_cand - n_cand)))
-        )
+
+        def padc(a, cv=0.0):
+            return jnp.pad(
+                a, ((0, 0), (0, max_cand - n_cand)), constant_values=cv
+            )
+
+        val_parts.append(padc(vals_r, _NEG))
+        code_parts.append(padc(codes_r))
+        x_parts.append(padc(xs_r))
+        y_parts.append(padc(ys_r))
     return (
-        jnp.concatenate(raw_parts, axis=0),
         jnp.concatenate(val_parts, axis=0),
         jnp.concatenate(code_parts, axis=0),
+        jnp.concatenate(x_parts, axis=0),
+        jnp.concatenate(y_parts, axis=0),
     )
 
 

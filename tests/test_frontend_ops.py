@@ -115,21 +115,17 @@ class TestIntegralMoments:
         h, w = 96, 128
         cfg = orb.OrbConfig(n_features=200, n_levels=4)
         imgs = rng.uniform(0, 255, (2, h, w)).astype(np.float32)
-        ra, ca = orb._pyramid_mats(h, w, cfg)
-        lv = jnp.einsum("lrh,bhw->lbrw", ra, jnp.asarray(imgs),
-                        precision="highest")
-        lv = np.asarray(
-            jnp.einsum("lbrw,lwc->lbrc", lv, ca, precision="highest")
-        )
+        stack = np.asarray(orb.pyramid_stack(jnp.asarray(imgs), cfg))
         shapes = orb.pyramid_shapes(h, w, cfg)
         for l, (lh, lw) in enumerate(shapes[1:], start=1):
+            lv = stack[2 * l : 2 * l + 2]
             for i in range(2):
                 ref = cv2.resize(imgs[i], (lw, lh),
                                  interpolation=cv2.INTER_LINEAR)
                 np.testing.assert_allclose(
-                    lv[l - 1, i, :lh, :lw], ref, atol=1e-3)
-            assert np.abs(lv[l - 1, :, lh:, :]).max() == 0.0
-            assert np.abs(lv[l - 1, :, :, lw:]).max() == 0.0
+                    lv[i, :lh, :lw], ref, atol=1e-3)
+            assert np.abs(lv[:, lh:, :]).max() == 0.0
+            assert np.abs(lv[:, :, lw:]).max() == 0.0
 
     def test_sparse_matches_integral_on_multiplane_stack(self):
         """Plane indexing: sparse gathers on a multi-plane stack must agree
@@ -235,6 +231,41 @@ class TestFast:
         # spatially spread: stddev over both axes is a decent chunk of image
         assert xy[:, 0].std() > img.shape[1] * 0.15
         assert xy[:, 1].std() > img.shape[0] * 0.12
+
+    def test_topk_bisect_matches_lax_topk(self):
+        """topk_bisect == lax.top_k (values, payloads, tie order) on
+        bf16-quantized scores with _NEG invalid slots — the production
+        plane-level selection input (fused kernel emits bf16-rounded
+        scores). Includes rows with heavy exact ties and rows with fewer
+        than k candidates."""
+        rng = np.random.default_rng(7)
+        n, c, k = 12, 1600, 174
+        scores = rng.uniform(7.0, 255.0, (n, c)).astype(np.float32)
+        # bf16-quantize (what the fused kernel emits) -> massive tie mass
+        scores = np.asarray(jnp.asarray(scores, jnp.bfloat16), np.float32)
+        mask = rng.random((n, c)) < 0.12
+        mask[-2] = False                      # empty plane
+        mask[-1, : k // 2] = True             # under-filled plane
+        mask[-1, k // 2 :] = False
+        flat = np.where(mask, scores, -1e9).astype(np.float32)
+        xs = rng.uniform(0, 752, (n, c)).astype(np.float32) * mask
+        ys = rng.uniform(0, 480, (n, c)).astype(np.float32) * mask
+
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(flat), k)
+        ref_x = jnp.take_along_axis(jnp.asarray(xs), ref_i, axis=1)
+        ref_y = jnp.take_along_axis(jnp.asarray(ys), ref_i, axis=1)
+        got_v, (got_x, got_y) = fast_mod.topk_bisect(
+            jnp.asarray(flat), (jnp.asarray(xs), jnp.asarray(ys)), k
+        )
+        np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
+        valid = np.asarray(ref_v) > -1e9 / 2
+        np.testing.assert_array_equal(
+            np.asarray(ref_x)[valid], np.asarray(got_x)[valid]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_y)[valid], np.asarray(got_y)[valid]
+        )
+        assert valid[-2].sum() == 0 and valid[-1].sum() == k // 2
 
 
 class TestOrb:
