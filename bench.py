@@ -212,7 +212,7 @@ def main():
 
     # enough distinct frames that every lane of the largest batch sees its
     # own un-wrapped slice of the trajectory: lane j's i-th frame is j+i
-    n_frames = 40
+    n_frames = 70
     t0 = time.time()
     frames, gyrs, accs, mask, state0 = make_sim_world(cfg, n_frames)
     log(f"sim world: {n_frames} frames rendered in {time.time() - t0:.1f}s")
@@ -316,10 +316,11 @@ def main():
     # are HBM-bounded (full-res 16-plane stacks per sequence); each is
     # attempted independently so one OOM/fault cannot void the run.
     results = {}
-    # B=64 compiled before the full-precision-matmul fix (252 f/s, ~2% over
-    # B=32) but now exceeds the remote-compile helper's limits; B=32 is the
-    # reliable throughput point.
-    for b in (32, 16):
+    # B=64 once exceeded the remote-compile helper's limits (full-canvas
+    # pyramid einsums); retried each round since the per-level pyramid +
+    # fused-select slimming — each size is attempted independently so one
+    # OOM/fault cannot void the run.
+    for b in (32, 16, 64):
         try:
             results[b] = measure(b, n_iter=5)
         except Exception as e:  # OOM / tunnel fault on this size only

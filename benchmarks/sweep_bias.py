@@ -26,13 +26,20 @@ CONFIGS = {
     "base(12,6)": dict(window=12, every=6),
     "long(24,4)": dict(window=24, every=4),
     "off(0,0)": dict(window=0, every=6),
+    "marg": dict(window=12, every=6, marg=1.0),
+    "marg.9": dict(window=12, every=6, marg=0.9),
+    "marg+norefine": dict(window=0, every=6, marg=1.0),
 }
 
+only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
 for name, rc in CONFIGS.items():
+    if only and not any(name.startswith(o) for o in only):
+        continue
     for seed in (0, 1, 2):
         cfg = sim_config(
             keyframe_rotation=0.1, keyframe_translation=0.15,
             full_ba_keyframes=True,
+            marg_prior="marg" in rc, marg_forget=rc.get("marg", 1.0),
         )
         sim = StereoInertialSim(cfg, n_landmarks=150, seed=seed)
         slam = VisualInertialSLAM(

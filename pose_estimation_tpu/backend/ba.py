@@ -64,6 +64,7 @@ def _prep(
     calib: Calib,
     gravity: jax.Array,
     prior_factor: float,
+    use_marg_prior: bool = False,
 ):
     """Shared precomputation of the motion-only BA problem: masks, the
     pre-linearized reprojection pieces, the constant pair Jacobian, the
@@ -80,6 +81,13 @@ def _prep(
     is_prior = (ks == anchor)
     is_imu = (ks > anchor)
     col_active = jnp.arange(wsize) >= anchor  # obs col w <-> slot 1+w
+    # Once the marginalization prior is live it REPLACES the anchor-pair
+    # prior (the reference's priorFactor surrogate) — keeping both would
+    # re-count the anchor link that was absorbed when its frame was
+    # marginalized. During window growth (prior_on False) the anchor pair
+    # stays active as usual.
+    if use_marg_prior:
+        is_prior = is_prior & ~win.prior_on
 
     # Landmarks must be observed by >= 2 (active) frames (`optimizer.cpp:77`).
     obs_mask = obs.mask & col_active[None, :]
@@ -269,12 +277,110 @@ def build_problem(
     return residual_fn, jac, weight_fn, x0, pr["aux"]
 
 
+def prior_delta(win: WindowState) -> jax.Array:
+    """Box-minus of the current window states (frames 1..W) against the
+    marginalization prior's linearization states, flattened in the solver
+    param layout [6W poses | 9W v/dbg/dba] -> [15W].
+
+    Local coordinates match `window.apply_deltas`' right-multiplicative
+    convention: R = R_lin exp(dr), p = p_lin + R_lin dp, additive v/biases;
+    the prior residual is then linear in the solver increments (J = I to
+    first order — states stay near the lin point because it refreshes at
+    every keyframe)."""
+    from pose_estimation_tpu.utils import lie
+
+    wsize = win.R.shape[0] - 1
+    R_act, p_act, v_act = win.R[1:], win.p[1:], win.v[1:]
+    dr = jax.vmap(lie.so3_log)(
+        jnp.einsum("wji,wjk->wik", win.lin_R, R_act)
+    )                                                     # [W, 3]
+    dp = jnp.einsum("wji,wj->wi", win.lin_R, p_act - win.lin_p)
+    dv = v_act - win.lin_v
+    # total biases of frame k+1 reference ics[k]'s committed bias
+    dbg = (win.ics.bg_i + win.dbg[1:]) - win.lin_bg
+    dba = (win.ics.ba_i + win.dba[1:]) - win.lin_ba
+    pose = jnp.concatenate([dr, dp], axis=1).reshape(6 * wsize)
+    vb = jnp.concatenate([dv, dbg, dba], axis=1).reshape(9 * wsize)
+    d0 = jnp.concatenate([pose, vb])
+    return jnp.where(win.prior_on, d0, 0.0)
+
+
+def _marg_indices(wsize: int):
+    """(dropped dims, kept dims, kept dims' post-roll positions) for
+    marginalizing frame 1 (param block 0) out of the [6W | 9W] layout."""
+    import numpy as np
+
+    n = 15 * wsize
+    idx_m = np.concatenate([np.arange(6), 6 * wsize + np.arange(9)])
+    idx_r = np.setdiff1d(np.arange(n), idx_m)
+    # post-roll position of each kept dim: old block k -> new block k - 1
+    new_pos = np.concatenate([
+        np.arange(0, 6 * (wsize - 1)),                       # old pose 1..W-1
+        6 * wsize + np.arange(0, 9 * (wsize - 1)),           # old vb 1..W-1
+    ])
+    return idx_m, idx_r, new_pos
+
+
+def marginalize_prior(
+    win: WindowState, h_final: jax.Array, forget: float = 1.0
+):
+    """Schur-marginalize the outgoing frame's 15-dim block from the solved
+    information matrix and re-index the remainder into the post-roll window
+    layout. Returns the WindowState with refreshed prior fields.
+
+    This is the sliding-window marginalization the reference approximates
+    with a fixed `priorFactor`-scaled anchor prior (`cost-functions.hpp:81`,
+    `optimizer.cpp:40-41`): instead of discarding all pre-window
+    information, the dropped frame's information is folded into a Gaussian
+    prior on the remaining states (linearized at their post-solve values).
+    `h_final` must include the PREVIOUS prior's contribution, so information
+    accumulates across windows. The gradient term is dropped (the solver
+    runs to convergence, g ~ 0); linearization states refresh every
+    keyframe, keeping the J = I prior residual accurate.
+    """
+    wsize = win.R.shape[0] - 1
+    n = 15 * wsize
+    dtype = win.R.dtype
+    idx_m, idx_r, new_pos = _marg_indices(wsize)
+
+    h = 0.5 * (h_final + h_final.T)
+    h_mm = h[jnp.ix_(idx_m, idx_m)] + 1e-8 * jnp.eye(len(idx_m), dtype=dtype)
+    h_rm = h[jnp.ix_(idx_r, idx_m)]
+    h_rr = h[jnp.ix_(idx_r, idx_r)]
+    schur = h_rr - h_rm @ jnp.linalg.solve(h_mm, h_rm.T)
+    schur = 0.5 * (schur + schur.T) * forget
+    prior_h = jnp.zeros((n, n), dtype).at[jnp.ix_(new_pos, new_pos)].set(schur)
+
+    # linearization states: post-roll param block k covers current window
+    # slot k+2 (for k < W-1); the newest block W-1 carries the current
+    # newest state as a placeholder (its prior rows are zero).
+    bg_tot = win.ics.bg_i + win.dbg[1:]                  # [W] per param block
+    ba_tot = win.ics.ba_i + win.dba[1:]
+
+    def roll_slot(a):                                    # [W+1, ...] slots
+        return jnp.concatenate([a[2:], a[-1:]], axis=0)  # -> [W, ...]
+
+    def roll_blk(a):                                     # [W, ...] blocks
+        return jnp.concatenate([a[1:], a[-1:]], axis=0)
+
+    return win._replace(
+        prior_h=prior_h,
+        lin_R=roll_slot(win.R),
+        lin_p=roll_slot(win.p),
+        lin_v=roll_slot(win.v),
+        lin_bg=roll_blk(bg_tot),
+        lin_ba=roll_blk(ba_tot),
+        prior_on=jnp.asarray(True),
+    )
+
+
 def build_normal_problem(
     win: WindowState,
     obs: LandmarkObs,
     calib: Calib,
     gravity: jax.Array,
     prior_factor: float,
+    use_marg_prior: bool = False,
 ):
     """The SAME motion-only BA problem in precomputed normal-equations form.
 
@@ -293,8 +399,19 @@ def build_normal_problem(
     Returns (normal_fn, x0, aux) with normal_fn(x) -> (H, g, cost),
     mathematically identical (up to fp summation order) to
     `build_problem` + IRLS weights.
+
+    With use_marg_prior, aux additionally carries "marg_h_fn":
+    x -> [n, n], the ONCE-COUNTED information for marginalizing the
+    outgoing frame: previous prior + the outgoing IMU pair (k=1, the only
+    pair whose information would otherwise be lost at the roll — it
+    becomes the disabled anchor pair) + the outgoing frame's
+    Huber-weighted reprojection block. Pairs 2..W-1 and the other frames'
+    reprojection terms stay ACTIVE in future solves and are deliberately
+    NOT included — folding the full posterior H would re-count them once
+    per window overlap and make the prior catastrophically overconfident
+    (measured: ATE 3.2 -> 10.6 % of path on the noisy sim).
     """
-    pr = _prep(win, obs, calib, gravity, prior_factor)
+    pr = _prep(win, obs, calib, gravity, prior_factor, use_marg_prior)
     wsize, dtype = pr["wsize"], pr["dtype"]
     err, f_blk, lm_valid = pr["err"], pr["f_blk"], pr["lm_valid"]
     jac_pairs = pr["jac_pairs"]
@@ -307,6 +424,37 @@ def build_normal_problem(
     gram = jnp.einsum("lwai,lwaj->lwij", f_blk, f_blk)      # [L, W, 6, 6]
     bvec = jnp.einsum("lwai,lwa->lwi", f_blk, err)          # [L, W, 6]
     e2 = jnp.sum(err * err, axis=-1)                        # [L, W]
+
+    # marginalization prior: residual d0 + x is LINEAR in x with unit
+    # Jacobian, so it contributes a constant H block and a cheap g term
+    if use_marg_prior:
+        on = win.prior_on
+        ph = jnp.where(on, win.prior_h, 0.0)                # [n, n]
+        d0 = prior_delta(win)                               # [n]
+        h_pairs = h_pairs + ph
+        g_pr0 = ph @ d0
+
+        rows1 = jac_pairs[15:30]                            # pair k=1 rows
+
+        def marg_h_fn(x):
+            dpose = x[0 : 6 * wsize].reshape(wsize, 6)
+            s_lw = (
+                e2
+                + 2.0 * jnp.einsum("lwi,wi->lw", bvec, dpose)
+                + jnp.einsum("wi,lwij,wj->lw", dpose, gram, dpose)
+            )
+            s_l = jnp.sum(s_lw, axis=1)
+            w_l = jnp.where(
+                s_l <= 1.0, 1.0, 1.0 / jnp.sqrt(jnp.maximum(s_l, 1e-32))
+            )
+            w_l = jnp.where(pr["lm_valid"], w_l, 0.0)
+            hw0 = jnp.einsum("l,lij->ij", w_l, gram[:, 0])  # frame block 0
+            h = ph + rows1.T @ rows1
+            return h.at[0:6, 0:6].add(hw0)
+
+        pr["aux"]["marg_h_fn"] = marg_h_fn
+    else:
+        ph = None
 
     def normal_fn(x):
         dpose = x[0 : 6 * wsize].reshape(wsize, 6)
@@ -335,6 +483,10 @@ def build_normal_problem(
         g = jac_pairs.T @ pairs.reshape(-1)
         g = g.at[: 6 * wsize].add(gw.reshape(-1))
         cost = 0.5 * (jnp.sum(pairs * pairs) + w_l @ s_l)
+        if use_marg_prior:
+            rp = d0 + x
+            g = g + g_pr0 + ph @ x
+            cost = cost + 0.5 * rp @ (ph @ rp)
         return h, g, cost
 
     return normal_fn, jnp.zeros(n, dtype), pr["aux"]
@@ -347,11 +499,14 @@ def motion_only_ba(
     gravity: jax.Array,
     prior_factor: float,
     max_iterations: int = 20,
+    use_marg_prior: bool = False,
 ):
-    """Returns (delta_pose [W,6], delta_vdbga [W,9], info)."""
+    """Returns (delta_pose [W,6], delta_vdbga [W,9], info). info["h_final"]
+    is the information matrix at the solution (incl. the marginalization
+    prior when enabled) — the input to `marginalize_prior`."""
     wsize = win.R.shape[0] - 1
     normal_fn, x0, aux = build_normal_problem(
-        win, obs, calib, gravity, prior_factor
+        win, obs, calib, gravity, prior_factor, use_marg_prior=use_marg_prior
     )
     x, info = lm_mod.lm_solve_normal(
         normal_fn, x0, lm_mod.LMOptions(max_iterations=max_iterations),
@@ -360,4 +515,6 @@ def motion_only_ba(
     delta_vdbga = x[6 * wsize :].reshape(wsize, 9)
     info["num_landmarks"] = aux["num_landmarks"]
     info["num_observations"] = aux["num_observations"]
+    if use_marg_prior:
+        info["marg_h"] = aux["marg_h_fn"](x)
     return delta_pose, delta_vdbga, info

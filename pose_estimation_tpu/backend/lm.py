@@ -252,6 +252,9 @@ def lm_solve_normal(
         "iterations": final.it,
         "accepted_steps": final.accepted,
         "lambda": final.lam,
+        # information matrix at the solution (the carried H is always
+        # evaluated at the accepted x) — consumed by marginalization
+        "h_final": final.h,
     }
     return final.x, info
 

@@ -84,6 +84,9 @@ class VIOStatic:
     # Schur full BA (pose + landmark refinement) on keyframes
     full_ba_keyframes: bool = False
     full_ba_iterations: int = 8
+    # sliding-window marginalization prior (see ba.marginalize_prior)
+    marg_prior: bool = False
+    marg_forget: float = 1.0
     dtype: object = jnp.float32
 
 
@@ -191,6 +194,8 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
         rectify_mode=cfg.rectify_mode,
         full_ba_keyframes=cfg.full_ba_keyframes,
         full_ba_iterations=cfg.full_ba_iterations,
+        marg_prior=cfg.marg_prior,
+        marg_forget=cfg.marg_forget,
         dtype=dtype,
     )
     return consts, static
@@ -275,10 +280,13 @@ def _run_backend(
     obs = LandmarkObs(state.pool.pos, state.pool.obs_px, state.pool.obs_mask)
 
     # -- motion-only BA (skipped when no circular matches, `vis:48`)
+    wsize = win.R.shape[0] - 1
+
     def do_ba(win):
         dpose, dvdbga, info = ba_mod.motion_only_ba(
             win, obs, consts.calib, consts.gravity,
             static.prior_factor, static.max_iterations,
+            use_marg_prior=static.marg_prior,
         )
         win = win_mod.apply_deltas(
             win, dpose, dvdbga, static.max_gyr_bias, static.max_acc_bias
@@ -287,12 +295,18 @@ def _run_backend(
             win, static.keyframe_rotation, static.keyframe_translation,
             static.max_imu_time,
         )
-        return win, info["final_cost"], info["iterations"]
+        marg_h = (
+            info["marg_h"] if static.marg_prior else info["h_final"]
+        )
+        return win, info["final_cost"], info["iterations"], marg_h
 
     def skip_ba(win):
-        return win, jnp.zeros((), static.dtype), jnp.zeros((), jnp.int32)
+        return (win, jnp.zeros((), static.dtype), jnp.zeros((), jnp.int32),
+                jnp.zeros((15 * wsize, 15 * wsize), static.dtype))
 
-    win, ba_cost, ba_iters = jax.lax.cond(has_matches, do_ba, skip_ba, win)
+    win, ba_cost, ba_iters, ba_h = jax.lax.cond(
+        has_matches, do_ba, skip_ba, win
+    )
     kf = win.is_keyframe & has_matches
     pool = state.pool
 
@@ -317,6 +331,18 @@ def _run_backend(
 
         win, pool = jax.lax.cond(
             kf, do_full, lambda args: args, (win, pool)
+        )
+
+    # -- sliding-window marginalization (config marg_prior): on keyframe,
+    # fold the outgoing frame's information into the carried prior.
+    # Activates once the window is full (during n_act growth the outgoing
+    # block holds no information). Lin states use the post-full-BA values.
+    if static.marg_prior:
+        win = jax.lax.cond(
+            kf & (win.n_act >= wsize),
+            lambda w: ba_mod.marginalize_prior(w, ba_h, static.marg_forget),
+            lambda w: w,
+            win,
         )
 
     state = state._replace(win=win, pool=pool)
@@ -369,6 +395,7 @@ def ok_step(
     )
     ic = pre.finalize(preint, state.bg, state.ba, consts.imu)
     win = win_mod.push_constraint(win, ic, consts.gravity)
+    p_pred = win.p[-1]
 
     # -- front-end
     cur, tr = front_end(img_l, img_r, pool, key, consts, static)
@@ -397,6 +424,10 @@ def ok_step(
         "need_reinit": win.need_reinit,
         "pool_size": jnp.sum(state.pool.valid),
         "imu_dt": ic.dt,
+        # IMU-predicted (pre-BA) newest position — the live viewer's "raw"
+        # trajectory (the reference pushes it from pushImuConstraint,
+        # `map.cpp:135-161` -> `viewer.cpp:202`)
+        "p_pred": p_pred,
     }
     return state, metrics
 

@@ -38,6 +38,21 @@ class WindowState(NamedTuple):
     # `optimizer.cpp:26`): frames at slots (W+1-n_act)..W are optimized, the
     # slot just before them is the prior anchor. Grows 1 -> W after init.
     n_act: jax.Array            # scalar int32 in [1, W]
+    # --- marginalization prior (config `marg_prior`; zero when off) ---
+    # Information matrix over the W optimized frames' increments in the
+    # solver's param layout [6W poses | 9W v/dbg/dba] (newest frame's
+    # blocks are zero — it had no information when the prior was formed),
+    # plus the linearization states the prior's residual is taken against.
+    # lin_bg/lin_ba are TOTAL biases (ics.bg_i + dbg at lin time).
+    # (defaults None so prior-free problem constructions — oracle tests —
+    # stay valid; `init_window` always provides real arrays)
+    prior_h: jax.Array | None = None      # [15W, 15W]
+    lin_R: jax.Array | None = None        # [W, 3, 3] frames 1..W
+    lin_p: jax.Array | None = None        # [W, 3]
+    lin_v: jax.Array | None = None        # [W, 3]
+    lin_bg: jax.Array | None = None       # [W, 3]
+    lin_ba: jax.Array | None = None       # [W, 3]
+    prior_on: jax.Array | None = None     # scalar bool
 
 
 def _empty_ic(w: int, dtype) -> ImuConstraint:
@@ -65,6 +80,13 @@ def init_window(w: int = WINDOW_SIZE, dtype=jnp.float32) -> WindowState:
         need_reinit=jnp.asarray(False),
         sum_imu_time=jnp.zeros((), dtype),
         n_act=jnp.asarray(w, jnp.int32),
+        prior_h=jnp.zeros((15 * w, 15 * w), dtype),
+        lin_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (w, 3, 3)),
+        lin_p=jnp.zeros((w, 3), dtype),
+        lin_v=jnp.zeros((w, 3), dtype),
+        lin_bg=jnp.zeros((w, 3), dtype),
+        lin_ba=jnp.zeros((w, 3), dtype),
+        prior_on=jnp.asarray(False),
     )
 
 

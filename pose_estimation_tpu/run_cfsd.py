@@ -59,6 +59,10 @@ def main(argv=None):
                     help="output of tools/cluonRecordingsToLocal (required "
                          "unless --live-camera)")
     ap.add_argument("--out", default="states.csv")
+    ap.add_argument("--live-view", nargs="?", const=8642, type=int,
+                    default=None, metavar="PORT",
+                    help="serve the live raw-vs-optimized 3-D view on "
+                         "http://localhost:PORT")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--live-imu", action="store_true",
                     help="ingest IMU from a live OD4 session (io/od4.py) "
@@ -90,6 +94,13 @@ def main(argv=None):
         ap.error("--recording-dir is required unless --live-camera is given")
     rec = CfsdRecording(args.recording_dir) if args.recording_dir else None
     slam = VisualInertialSLAM(cfg, verbose=args.verbose)
+    if args.live_view is not None:
+        from pose_estimation_tpu.live_viewer import LiveViewer
+
+        viewer = LiveViewer(port=args.live_view,
+                            window_size=cfg.window_size).start()
+        slam.set_viewer(viewer)
+        print(f"live view: http://localhost:{viewer.port}/")
 
     session = None
     if args.live_imu:

@@ -14,6 +14,10 @@ def main(argv=None):
     ap.add_argument("--max-num-imu", type=int, default=None)
     ap.add_argument("--max-num-image", type=int, default=None)
     ap.add_argument("--out", default="states.csv")
+    ap.add_argument("--live-view", nargs="?", const=8642, type=int,
+                    default=None, metavar="PORT",
+                    help="serve the live raw-vs-optimized 3-D view on "
+                         "http://localhost:PORT")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -30,6 +34,13 @@ def main(argv=None):
 
     ds = KittiDataset(args.dataset_dir or cfg.dataset_path)
     slam = VisualInertialSLAM(cfg, verbose=args.verbose)
+    if args.live_view is not None:
+        from pose_estimation_tpu.live_viewer import LiveViewer
+
+        viewer = LiveViewer(port=args.live_view,
+                            window_size=cfg.window_size).start()
+        slam.set_viewer(viewer)
+        print(f"live view: http://localhost:{viewer.port}/")
 
     t0 = time.time()
     n = run_kitti(slam, ds, max_imu, max_img, rate)

@@ -42,9 +42,16 @@ class SensorType(Enum):
 class VisualInertialSLAM:
     def __init__(self, cfg: VIOConfig, verbose: bool = False, seed: int = 0,
                  reinit_on_bias_corruption: bool = True, dtype=jnp.float32,
-                 metrics_jsonl: str | None = None, reinit_check_every: int = 8):
+                 metrics_jsonl: str | None = None, reinit_check_every: int = 8,
+                 staged: bool = False):
         self.cfg = cfg
         self.verbose = verbose
+        # staged=True runs the OK path as four jitted dispatches (per-stage
+        # timing parity with the reference's printouts, `visual-inertial-
+        # slam.cpp:28-64`); default is the fused single-dispatch ok_step —
+        # one host->device round trip per frame (the dispatch overhead of
+        # the extra three stages is pure latency on the tunneled chip)
+        self.staged = staged
         self.reinit_on_bias_corruption = reinit_on_bias_corruption
         self._metrics_sink = open(metrics_jsonl, "w") if metrics_jsonl else None
         # host<->device sync cadence for the bias-corruption check (each
@@ -87,6 +94,11 @@ class VisualInertialSLAM:
         self.vio = vio_mod.init_vio_state(self.static)
         self._key = jax.random.PRNGKey(seed)
 
+        # optional live viewer (the reference's `setViewer`,
+        # `visual-inertial-slam.hpp:43`); see live_viewer.LiveViewer
+        self._viewer = None
+        self.viewer_landmark_every = 10   # landmark-cloud push cadence
+
         # --- host-side ingestion (the reference's mutex-guarded queues) ---
         self._gyr = None
         self._acc = None
@@ -124,6 +136,11 @@ class VisualInertialSLAM:
         self._stage_pool = jax.jit(
             functools.partial(
                 vio_mod.stage_pool, consts=self.consts, static=self.static
+            )
+        )
+        self._ok_step = jax.jit(
+            functools.partial(
+                vio_mod.ok_step, consts=self.consts, static=self.static
             )
         )
         self._bootstrap = jax.jit(
@@ -304,22 +321,31 @@ class VisualInertialSLAM:
                 if self.verbose:
                     print("[slam] warning: no IMU samples for frame; skipping")
                 return False
-            self.vio, imu_dt = self._stage_imu(self.vio, gyr, acc, mask)
-            self.vio, cur, tr = self._stage_frontend(
-                self.vio, img_l, img_r, self._next_key()
-            )
-            self.vio, ba_cost, ba_iters = self._stage_ba(self.vio, tr.n_matches)
-            self.vio = self._stage_pool(self.vio, cur, tr, tr.n_matches)
-            metrics = {
-                "n_stereo": jnp.sum(cur.valid),
-                "n_tracked": tr.n_matches,
-                "is_keyframe": self.vio.win.is_keyframe,
-                "ba_cost": ba_cost,
-                "ba_iters": ba_iters,
-                "need_reinit": self.vio.win.need_reinit,
-                "pool_size": jnp.sum(self.vio.pool.valid),
-                "imu_dt": imu_dt,
-            }
+            if self.staged:
+                self.vio, imu_dt = self._stage_imu(self.vio, gyr, acc, mask)
+                p_pred = self.vio.win.p[-1]
+                self.vio, cur, tr = self._stage_frontend(
+                    self.vio, img_l, img_r, self._next_key()
+                )
+                self.vio, ba_cost, ba_iters = self._stage_ba(
+                    self.vio, tr.n_matches
+                )
+                self.vio = self._stage_pool(self.vio, cur, tr, tr.n_matches)
+                metrics = {
+                    "n_stereo": jnp.sum(cur.valid),
+                    "n_tracked": tr.n_matches,
+                    "is_keyframe": self.vio.win.is_keyframe,
+                    "ba_cost": ba_cost,
+                    "ba_iters": ba_iters,
+                    "need_reinit": self.vio.win.need_reinit,
+                    "pool_size": jnp.sum(self.vio.pool.valid),
+                    "imu_dt": imu_dt,
+                    "p_pred": p_pred,
+                }
+            else:
+                self.vio, metrics = self._ok_step(
+                    self.vio, img_l, img_r, gyr, acc, mask, self._next_key()
+                )
             self._record(img_ts)
             if self.verbose:
                 print(
@@ -333,10 +359,16 @@ class VisualInertialSLAM:
                 import json
 
                 self._metrics_sink.write(json.dumps(
-                    {"ts": img_ts, **{k: float(v) for k, v in metrics.items()}}
+                    {"ts": img_ts, **{
+                        k: (float(v) if np.ndim(v) == 0
+                            else np.asarray(v).tolist())
+                        for k, v in metrics.items()
+                    }}
                 ) + "\n")
                 self._metrics_sink.flush()
             self._frame_count += 1
+            if self._viewer is not None:
+                self._push_viewer(metrics)
             # device scalars are retained per frame and materialized in one
             # host sync every reinit_check_every frames; the streak itself
             # advances PER FRAME, so detection latency is bounded by the
@@ -389,6 +421,28 @@ class VisualInertialSLAM:
         return True  # LOST: relocalization is future work (as in reference)
 
     # ------------------------------------------------------------------ #
+
+    def set_viewer(self, viewer):
+        """Attach a live viewer (live_viewer.LiveViewer or anything with
+        its push API) — analog of `VisualInertialSLAM::setViewer`."""
+        self._viewer = viewer
+
+    def _push_viewer(self, metrics):
+        """Feed the live viewer (host syncs; the viewer is opt-in)."""
+        v = self._viewer
+        win = self.vio.win
+        w = win.p.shape[0] - 1
+        if bool(metrics["is_keyframe"]):
+            v.push_keyframe()
+        p_host = np.asarray(win.p)
+        for i in range(w):
+            v.push_position(p_host[1 + i], i)
+        if "p_pred" in metrics:
+            v.push_raw_position(np.asarray(metrics["p_pred"]), w - 1)
+        v.push_pose(np.asarray(win.R[-1]), p_host[-1])
+        if self._frame_count % self.viewer_landmark_every == 0:
+            pool = self.vio.pool
+            v.push_landmark(np.asarray(pool.pos), np.asarray(pool.valid))
 
     def _push_sfm(self, r: np.ndarray, p: np.ndarray):
         """`Map::pushSfm` (`src/map.cpp:53-70`) on host-side SfM chains."""
@@ -479,6 +533,10 @@ class VisualInertialSLAM:
             n_act=jnp.asarray(1, jnp.int32),
             is_keyframe=jnp.asarray(True),
             sum_imu_time=jnp.zeros((), self._dtype),
+            # a (re)initialization invalidates any carried marginalization
+            # prior (new world frame / fresh bias references)
+            prior_h=jnp.zeros_like(win.prior_h),
+            prior_on=jnp.asarray(False),
         )
         self.vio = self.vio._replace(
             win=win, preint=pre.init_state(self._dtype), bg=new_bg, ba=new_ba
@@ -562,12 +620,29 @@ class VisualInertialSLAM:
                   f"dba={np.asarray(dba)}")
         d_rm = lie.so3_exp(delta_r)
         pool = self.vio.pool
+        # keep the marginalization prior consistent with the rotated world:
+        # dr/dp/bias local coords are world-rotation-invariant, dv is a
+        # WORLD vector (rotate its 3x3 info blocks); the lin states rotate
+        # with the state, and lin_ba absorbs the bias correction so the
+        # prior does not fight the refinement it just accepted.
+        wsize = win.R.shape[0] - 1
+        t = np.eye(15 * wsize, dtype=np.asarray(d_rm).dtype)
+        dr_np = np.asarray(d_rm)
+        for k in range(wsize):
+            o = 6 * wsize + 9 * k
+            t[o : o + 3, o : o + 3] = dr_np
+        t = jnp.asarray(t)
         self.vio = self.vio._replace(
             win=win._replace(
                 R=d_rm[None] @ win.R,
                 v=win.v @ d_rm.T,
                 p=win.p @ d_rm.T,
                 dba=win.dba + dba[None],
+                prior_h=t @ win.prior_h @ t.T,
+                lin_R=d_rm[None] @ win.lin_R,
+                lin_p=win.lin_p @ d_rm.T,
+                lin_v=win.lin_v @ d_rm.T,
+                lin_ba=win.lin_ba + dba[None],
             ),
             pool=pool._replace(pos=pool.pos @ d_rm.T),
         )

@@ -199,6 +199,18 @@ class VIOConfig:
     # (`optimizer.cpp:122-133`)
     full_ba_keyframes: bool = False
     full_ba_iterations: int = 8
+    # sliding-window marginalization prior (VINS/OKVIS-style): on each
+    # keyframe, Schur-marginalize the outgoing frame's 15-dim block from
+    # the solved motion-BA information matrix and carry the result as a
+    # Gaussian prior on the remaining window states. Upgrade over the
+    # reference's fixed `priorFactor`-scaled anchor prior
+    # (`cost-functions.hpp:81`), which discards all pre-window information.
+    marg_prior: bool = False
+    # forgetting factor applied to the carried prior at each
+    # marginalization (1.0 = none). < 1 bounds the overconfidence from
+    # landmark double-counting (pool landmarks persist across windows, so
+    # their reprojection information re-enters future solves).
+    marg_forget: float = 1.0
     # FAST corner backend: "auto" resolves to the fused Pallas score+NMS
     # kernel on TPU (bit-exact vs the XLA path, one HBM read+write per
     # pixel, no min-tree temp blowup at batch scale) and to the XLA
