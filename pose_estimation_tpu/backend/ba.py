@@ -381,6 +381,7 @@ def build_normal_problem(
     gravity: jax.Array,
     prior_factor: float,
     use_marg_prior: bool = False,
+    ba_prior_sigma: float = 0.0,
 ):
     """The SAME motion-only BA problem in precomputed normal-equations form.
 
@@ -456,6 +457,23 @@ def build_normal_problem(
     else:
         ph = None
 
+    # weak zero-mean acc-bias prior (config ba_prior_sigma): pins the
+    # near-degenerate (tilt, ba) gauge mode on low-rotation trajectories.
+    # One 3-dim residual (ba_tot + delta_ba)/sigma per ACTIVE frame block.
+    if ba_prior_sigma > 0:
+        inv_s2 = 1.0 / float(ba_prior_sigma) ** 2
+        anchor_blk = (wsize - win.n_act).astype(jnp.int32)
+        act_blk = (jnp.arange(wsize) >= anchor_blk).astype(dtype)   # [W]
+        ba_tot = win.ics.ba_i + win.dba[1:]                         # [W, 3]
+        ba_dims = (
+            6 * wsize
+            + 9 * jnp.arange(wsize)[:, None]
+            + jnp.arange(6, 9)[None, :]
+        ).reshape(-1)                                               # [3W]
+        h_pairs = h_pairs.at[ba_dims, ba_dims].add(
+            inv_s2 * jnp.repeat(act_blk, 3)
+        )
+
     def normal_fn(x):
         dpose = x[0 : 6 * wsize].reshape(wsize, 6)
         pairs = pairs_residual(x)                           # [W, 15]
@@ -487,6 +505,11 @@ def build_normal_problem(
             rp = d0 + x
             g = g + g_pr0 + ph @ x
             cost = cost + 0.5 * rp @ (ph @ rp)
+        if ba_prior_sigma > 0:
+            dba_x = x[6 * wsize :].reshape(wsize, 9)[:, 6:9]
+            r_ba = (ba_tot + dba_x) * act_blk[:, None]          # [W, 3]
+            g = g.at[ba_dims].add(inv_s2 * r_ba.reshape(-1))
+            cost = cost + 0.5 * inv_s2 * jnp.sum(r_ba * r_ba)
         return h, g, cost
 
     return normal_fn, jnp.zeros(n, dtype), pr["aux"]
@@ -500,13 +523,15 @@ def motion_only_ba(
     prior_factor: float,
     max_iterations: int = 20,
     use_marg_prior: bool = False,
+    ba_prior_sigma: float = 0.0,
 ):
     """Returns (delta_pose [W,6], delta_vdbga [W,9], info). info["h_final"]
     is the information matrix at the solution (incl. the marginalization
     prior when enabled) — the input to `marginalize_prior`."""
     wsize = win.R.shape[0] - 1
     normal_fn, x0, aux = build_normal_problem(
-        win, obs, calib, gravity, prior_factor, use_marg_prior=use_marg_prior
+        win, obs, calib, gravity, prior_factor, use_marg_prior=use_marg_prior,
+        ba_prior_sigma=ba_prior_sigma,
     )
     x, info = lm_mod.lm_solve_normal(
         normal_fn, x0, lm_mod.LMOptions(max_iterations=max_iterations),

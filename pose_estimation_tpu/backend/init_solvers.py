@@ -262,6 +262,7 @@ def refine_gravity(
     R, p, ics, unit_g, axes, gravity,
     max_iterations: int = 50, rounds: int = 2,
     sigma_v: float = 0.05, sigma_p: float = 0.02,
+    sigma_tilt: float = 0.5, sigma_dba: float = 0.5,
 ):
     """Online gravity refinement over an accumulated KEYFRAME chain.
 
@@ -307,7 +308,8 @@ def refine_gravity(
         # solve is degenerate on low-rotation chains (see
         # solve_gravity_tilt_bias)
         g_est, dba, _, _ = solve_gravity_tilt_bias(
-            R, p, ics, gravity, max_iterations
+            R, p, ics, gravity, max_iterations,
+            sigma_tilt=sigma_tilt, sigma_dba=sigma_dba,
         )
         g_unit = g_est / jnp.linalg.norm(g_est)
         delta_r, _ = solve_alignment(g_unit, unit_g, axes, max_iterations)

@@ -87,6 +87,7 @@ class VIOStatic:
     # sliding-window marginalization prior (see ba.marginalize_prior)
     marg_prior: bool = False
     marg_forget: float = 1.0
+    ba_prior_sigma: float = 0.0
     dtype: object = jnp.float32
 
 
@@ -196,6 +197,7 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
         full_ba_iterations=cfg.full_ba_iterations,
         marg_prior=cfg.marg_prior,
         marg_forget=cfg.marg_forget,
+        ba_prior_sigma=cfg.ba_prior_sigma,
         dtype=dtype,
     )
     return consts, static
@@ -287,6 +289,7 @@ def _run_backend(
             win, obs, consts.calib, consts.gravity,
             static.prior_factor, static.max_iterations,
             use_marg_prior=static.marg_prior,
+            ba_prior_sigma=static.ba_prior_sigma,
         )
         win = win_mod.apply_deltas(
             win, dpose, dvdbga, static.max_gyr_bias, static.max_acc_bias

@@ -43,7 +43,8 @@ class VisualInertialSLAM:
     def __init__(self, cfg: VIOConfig, verbose: bool = False, seed: int = 0,
                  reinit_on_bias_corruption: bool = True, dtype=jnp.float32,
                  metrics_jsonl: str | None = None, reinit_check_every: int = 8,
-                 staged: bool = False):
+                 staged: bool = False,
+                 refine_sigmas: tuple[float, float] = (2.0, 2.0)):
         self.cfg = cfg
         self.verbose = verbose
         # staged=True runs the OK path as four jitted dispatches (per-stage
@@ -166,6 +167,7 @@ class VisualInertialSLAM:
             unit_g=jnp.asarray(profile.gravity_dir, dtype),
             axes=profile.alignment_axes,
             gravity=jnp.asarray(cfg.gravity, dtype),
+            sigma_tilt=refine_sigmas[0], sigma_dba=refine_sigmas[1],
         ))
         self._integrate = jax.jit(
             functools.partial(pre.integrate_chunk, params=self.consts.imu)

@@ -205,12 +205,23 @@ class VIOConfig:
     # Gaussian prior on the remaining window states. Upgrade over the
     # reference's fixed `priorFactor`-scaled anchor prior
     # (`cost-functions.hpp:81`), which discards all pre-window information.
-    marg_prior: bool = False
+    # DEFAULT ON (flagship): measured on the noisy 6 s simulator it cuts
+    # ATE 1.5-5x (5.57/3.23/2.40 -> 1.07/2.27/1.64 % of path) and |bg|
+    # 3-15x across seeds vs the priorFactor surrogate (benchmarks/
+    # sweep_bias.py); set False for the reference-faithful prior.
+    marg_prior: bool = True
     # forgetting factor applied to the carried prior at each
     # marginalization (1.0 = none). < 1 bounds the overconfidence from
     # landmark double-counting (pool landmarks persist across windows, so
     # their reprojection information re-enters future solves).
     marg_forget: float = 1.0
+    # weak zero-mean accelerometer-bias prior sigma [m/s^2] (0 disables).
+    # On low-rotation trajectories (tilt, ba) is near-degenerate and the
+    # pair random-walks along the unobservable manifold (measured: |ba|
+    # grows 0.02 -> 1.3 over 6 s with ATE unaffected); physical IMU biases
+    # are bounded (~0.1 m/s^2 class for EuRoC's ADIS16448), so a weak
+    # prior pins the gauge without biasing observable estimates.
+    ba_prior_sigma: float = 0.0
     # FAST corner backend: "auto" resolves to the fused Pallas score+NMS
     # kernel on TPU (bit-exact vs the XLA path, one HBM read+write per
     # pixel, no min-tree temp blowup at batch scale) and to the XLA

@@ -98,16 +98,20 @@ class Trajectory:
 
 
 class StereoInertialSim:
-    def __init__(self, cfg: VIOConfig, n_landmarks=400, seed=0):
+    def __init__(self, cfg: VIOConfig, n_landmarks=400, seed=0,
+                 y_max: float = 11.0):
         self.cfg = cfg
         self.rng = np.random.default_rng(seed)
         self.traj = Trajectory()
         self.g_w = np.array([-G, 0.0, 0.0])  # euroc convention
         # landmark field in front of the body's +x (the camera optical axis:
-        # r_cb maps body x -> cam z) over the whole run
+        # r_cb maps body x -> cam z) over the whole run. y_max must cover
+        # the trajectory's y extent (~0.8 m/s * duration + margin) or the
+        # camera runs out of landmarks and tracking is LOST (by design —
+        # the default covers the standard 6 s run).
         self.lm = np.stack([
             self.rng.uniform(2.5, 11.0, n_landmarks),
-            self.rng.uniform(-3.0, 11.0, n_landmarks),
+            self.rng.uniform(-3.0, y_max, n_landmarks),
             self.rng.uniform(-4.0, 4.0, n_landmarks),
         ], axis=1)
         # distinctive patch per landmark

@@ -49,10 +49,12 @@ class TestEndToEnd:
         traj = slam.trajectory
         path_len = np.linalg.norm(np.diff(gt[:, 1:], axis=0), axis=1).sum()
         ate = ate_rmse(traj, gt)
-        # flagship config (keyframe full BA): measured 2.3% of path on this
+        # flagship config (keyframe full BA + marginalization prior +
+        # online gravity refinement): measured 1.44% of path on this
         # geometry (depth ~40x baseline; billboard-splat rendering has
-        # structured sub-pixel noise); gate at 5% for seed/headroom
-        assert ate < 0.05 * path_len, (ate, path_len)
+        # structured sub-pixel noise; round-2 state without the marg prior
+        # was 2.3%); gate at 3% for seed/headroom
+        assert ate < 0.03 * path_len, (ate, path_len)
 
     def test_biases_bounded(self, run_result):
         slam, gt = run_result
@@ -61,11 +63,14 @@ class TestEndToEnd:
         ba = np.asarray(win.ics.ba_i[-1] + win.dba[-1])
         # true biases are zero; gyro bias is strongly observable and must
         # stay tight; acc bias is weakly observable within a 4-frame window
-        # (tilt <-> ba coupling — the reference has the same structure).
-        # Measured with the bias-walk offset fix + keyframe full BA:
-        # |bg| ~ 0.008, |ba| ~ 1.4; gates at ~2x headroom.
-        assert np.linalg.norm(bg) < 0.03
-        assert np.linalg.norm(ba) < 2.5
+        # (tilt <-> ba coupling; the (tilt, ba) pair random-walks along the
+        # near-degenerate manifold — the reference has the same structure
+        # and no countermeasure). Measured with the marginalization prior
+        # (|bg| anchored across windows) + sigma-2 gravity refinement:
+        # |bg| ~ 0.003, |ba| 0.42-0.83 across seeds (round 2: 0.008 / 1.4;
+        # gates were 0.03 / 2.5). Gates at ~1.5x headroom.
+        assert np.linalg.norm(bg) < 0.01
+        assert np.linalg.norm(ba) < 1.2
 
     def test_full_ba_improves_ate(self):
         """Keyframe full BA (Schur landmark refinement) must beat the
