@@ -13,6 +13,9 @@ from __future__ import annotations
 import functools
 import re
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def count_hlo(compiled_text: str) -> dict:

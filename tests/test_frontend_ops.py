@@ -180,6 +180,35 @@ class TestHamming:
         np.testing.assert_array_equal(np.asarray(res.dist), 10.0)
 
 
+class TestMxuRowOps:
+    def test_select_rows_matches_gather(self):
+        rng = np.random.default_rng(2)
+        table = rng.integers(-1, 2, (37, 256)).astype(np.int8)
+        idx = rng.integers(0, 37, 64).astype(np.int32)
+        valid = rng.random(64) < 0.7
+        got = np.asarray(matching.select_rows_mxu(
+            jnp.asarray(table), jnp.asarray(idx), jnp.asarray(valid)))
+        expect = table[idx] * valid[:, None]
+        np.testing.assert_array_equal(got, expect)
+
+    def test_scatter_rows_matches_set_and_drops_out_of_range(self):
+        rng = np.random.default_rng(3)
+        p, m = 29, 16
+        dest = rng.integers(-1, 2, (p, 256)).astype(np.int8)
+        vals = rng.integers(-1, 2, (m, 256)).astype(np.int8)
+        # unique in-range targets + some dropped rows routed to index p
+        tgt = np.concatenate([
+            rng.permutation(p)[: m - 4], np.full(4, p)
+        ]).astype(np.int32)
+        got = np.asarray(matching.scatter_rows_mxu(
+            jnp.asarray(dest), jnp.asarray(tgt), jnp.asarray(vals)))
+        expect = dest.copy()
+        for i, t in enumerate(tgt):
+            if t < p:
+                expect[t] = vals[i]
+        np.testing.assert_array_equal(got, expect)
+
+
 class TestCrossCheck:
     def test_one_to_one_assignment(self):
         """Two queries matched to the same train keep only the closer one."""
