@@ -63,11 +63,16 @@ def full_ba(
     gravity: jax.Array,
     prior_factor: float,
     max_iterations: int = 10,
+    use_marg_prior: bool = False,
 ):
     """Joint pose + landmark refinement.
 
     Returns (delta_pose [W,6], delta_vdbga [W,9], delta_landmarks [L,3],
     info). Landmarks observed < 2 times are frozen (delta 0).
+    With use_marg_prior, the window's marginalization prior contributes to
+    the pose/velocity/bias block exactly as in the motion-only problem
+    (and the anchor-pair surrogate is disabled while it is live), so the
+    keyframe refinement cannot silently undo prior-constrained states.
     """
     wsize = win.R.shape[0] - 1
     L = obs.pos.shape[0]
@@ -77,6 +82,8 @@ def full_ba(
     ks = jnp.arange(wsize)
     is_prior = ks == anchor
     is_imu = ks > anchor
+    if use_marg_prior:
+        is_prior = is_prior & ~win.prior_on
     col_active = jnp.arange(wsize) >= anchor
 
     obs_mask = obs.mask & col_active[None, :]
@@ -122,6 +129,14 @@ def full_ba(
         ))
 
     n_pose = 6 * wsize + 9 * wsize
+
+    if use_marg_prior:
+        from pose_estimation_tpu.backend.ba import prior_delta
+
+        ph = jnp.where(win.prior_on, win.prior_h, 0.0)       # [n_pose, n_pose]
+        d0 = prior_delta(win)                                # [n_pose]
+    else:
+        ph = d0 = None
 
     def pair_residuals(dpose, dvdbga):
         parts = []
@@ -186,6 +201,9 @@ def full_ba(
         c = 0.5 * jnp.sum(r_pairs**2) + 0.5 * jnp.sum(
             w_lm[:, None, None] * err**2
         )
+        if use_marg_prior:
+            rp = d0 + jnp.concatenate([dpose_flat, dvdbga_flat])
+            c = c + 0.5 * rp @ (ph @ rp)
         return c, (r_pairs, err, w_lm)
 
     def body(state):
@@ -207,9 +225,12 @@ def full_ba(
         # cross blocks per (landmark, frame)
         h_pl = jnp.einsum("lwai,lwaj,lw->lwij", f_pose, f_lm, wgt)
 
-        # pose-side H from prior/IMU pairs
+        # pose-side H from prior/IMU pairs (+ the marginalization prior)
         h_pairs = jac_pairs.T @ jac_pairs
         g_pairs = jac_pairs.T @ r_pairs.reshape(-1)
+        if use_marg_prior:
+            h_pairs = h_pairs + ph
+            g_pairs = g_pairs + ph @ (d0 + x_pose)
 
         # full pose H (n_pose x n_pose): add reprojection pose-diag blocks
         h_pp = h_pairs
