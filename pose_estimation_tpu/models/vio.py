@@ -174,6 +174,7 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
             th_lo=float(cfg.min_th_fast),
             fast_backend=fast_backend,
             sample_backend=sample_backend,
+            select_dtype=cfg.select_dtype,
         ),
         match_ratio=cfg.match_ratio,
         min_match_dist=cfg.min_match_dist,

@@ -191,6 +191,11 @@ class OrbConfig(NamedTuple):
     # blur + pool-gather BRIEF; "pallas"/"pallas_interpret" = the fused
     # per-keypoint patch kernel (ops/pallas_sample.py) replacing all three
     sample_backend: str = "xla"
+    # compute dtype of the fused select kernel's score chain ("bf16" or
+    # "f32"). bf16 halves the vreg footprint but quantizes FAST scores
+    # (spacing 1.0 at score ~128), perturbing the in-kernel subpixel fit
+    # and near-tie selection.
+    select_dtype: str = "bf16"
 
 
 class OrbFeatures(NamedTuple):
@@ -589,7 +594,9 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
         kps = fast_mod.select_keypoints_fused(
             stack, bounds, cfg.th_hi, cfg.th_lo, budgets[0],
             border=EDGE, k_per_cell=cfg.k_per_cell,
-            compute_dtype=jnp.bfloat16,
+            compute_dtype=(
+                jnp.float32 if cfg.select_dtype == "f32" else jnp.bfloat16
+            ),
         )
     elif cfg.fast_backend == "pallas":
         from pose_estimation_tpu.ops.pallas_fast import fast_score_nms_pallas

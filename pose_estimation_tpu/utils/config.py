@@ -232,6 +232,9 @@ class VIOConfig:
     # pool sampling; replaces the gather-bound angle/blur/BRIEF stages) and
     # to the XLA formulation elsewhere. "xla"/"pallas" force a choice.
     sample_backend: str = "auto"
+    # score-chain compute dtype of the fused select kernel ("bf16"/"f32"):
+    # see ops.orb.OrbConfig.select_dtype
+    select_dtype: str = "bf16"
 
     @property
     def profile(self) -> DatasetProfile:
