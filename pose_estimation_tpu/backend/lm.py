@@ -107,14 +107,22 @@ def lm_solve(
         lam_acc = jnp.clip(s.lam * shrink, options.min_lambda, options.max_lambda)
         lam_rej = jnp.clip(s.lam * s.nu, options.min_lambda, options.max_lambda)
 
-        # Convergence tests (only meaningful on accepted steps).
+        # Convergence tests. Evaluated on the CANDIDATE step whether or not
+        # it is accepted: near the optimum, IRLS weight feedback can push
+        # rho just below min_relative_decrease while |delta cost| is already
+        # under function_tolerance — requiring an ACCEPTED step to terminate
+        # then burns the remaining iterations rejecting ever-tinier steps
+        # (lam only grows). A rejected-but-converged candidate leaves x at
+        # the carried (accepted) iterate, so the returned solution is the
+        # same one the reject-loop would have returned at the cap.
+        # bad_chol zero-steps must NOT terminate (they retry at larger lam).
         cost_change = jnp.abs(s.cost - new_cost)
         f_conv = cost_change <= options.function_tolerance * (s.cost + 1e-32)
         x_norm = jnp.linalg.norm(s.x)
         p_conv = jnp.linalg.norm(step) <= options.parameter_tolerance * (
             x_norm + options.parameter_tolerance
         )
-        done = accept & (f_conv | p_conv)
+        done = (f_conv | p_conv) & jnp.isfinite(new_cost) & ~bad_chol
 
         return LMState(
             x=jnp.where(accept, x_new, s.x),
@@ -214,13 +222,16 @@ def lm_solve_normal(
         lam_acc = jnp.clip(s.lam * shrink, options.min_lambda, options.max_lambda)
         lam_rej = jnp.clip(s.lam * s.nu, options.min_lambda, options.max_lambda)
 
+        # Candidate-based convergence (see lm_solve.body): a rejected step
+        # whose cost change is already under tolerance must terminate, not
+        # reject-loop to the iteration cap.
         cost_change = jnp.abs(s.cost - new_cost)
         f_conv = cost_change <= options.function_tolerance * (s.cost + 1e-32)
         x_norm = jnp.linalg.norm(s.x)
         p_conv = jnp.linalg.norm(step) <= options.parameter_tolerance * (
             x_norm + options.parameter_tolerance
         )
-        done = accept & (f_conv | p_conv)
+        done = (f_conv | p_conv) & jnp.isfinite(new_cost) & ~bad_chol
 
         return NormalLMState(
             x=jnp.where(accept, x_new, s.x),
