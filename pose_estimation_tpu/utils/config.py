@@ -234,7 +234,7 @@ class VIOConfig:
     sample_backend: str = "auto"
     # score-chain compute dtype of the fused select kernel ("bf16"/"f32"):
     # see ops.orb.OrbConfig.select_dtype
-    select_dtype: str = "bf16"
+    select_dtype: str = "f32"
 
     @property
     def profile(self) -> DatasetProfile:
