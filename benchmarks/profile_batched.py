@@ -54,24 +54,30 @@ def timeit(name, f, *a, n=6):
         None,
     )
 
-    def body(c, _):
-        ls = list(leaves)
-        if fi is not None:
-            ls[fi] = ls[fi] + c
-        out = f(*jax.tree.unflatten(treedef, ls))
-        # consume EVERY output with a full reduction: a scalar-slice carry
-        # lets XLA dead-code/slice-propagate away the very work under test
-        s = jnp.float32(0.0)
-        for l in jax.tree.leaves(out):
-            s = s + jnp.sum(l.astype(jnp.float32))
-        return s * 1e-30, None
+    # the inputs must be jit ARGUMENTS, not closure captures: captured
+    # concrete arrays are serialized into the program as literal constants,
+    # and a B=32 plane stack (~740 MB) blows the remote-compile helper's
+    # request-body limit (HTTP 413)
+    def g(*ls):
+        def body(c, _):
+            ls2 = list(ls)
+            if fi is not None:
+                ls2[fi] = ls2[fi] + c
+            out = f(*jax.tree.unflatten(treedef, ls2))
+            # consume EVERY output with a full reduction: a scalar-slice
+            # carry lets XLA dead-code/slice-propagate away the very work
+            # under test
+            s = jnp.float32(0.0)
+            for l in jax.tree.leaves(out):
+                s = s + jnp.sum(l.astype(jnp.float32))
+            return s * 1e-30, None
 
-    g = jax.jit(
-        lambda: jax.lax.scan(body, jnp.float32(0.0), None, length=n)[0]
-    )
-    float(np.asarray(g()))  # compile + warm
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=n)[0]
+
+    g = jax.jit(g)
+    float(np.asarray(g(*leaves)))  # compile + warm
     t0 = time.time()
-    float(np.asarray(g()))
+    float(np.asarray(g(*leaves)))
     dt = (time.time() - t0) / n * 1e3
     print(f"{name}: {dt:.1f} ms/call, {dt / B:.2f} ms/frame", flush=True)
     return jax.jit(f)(*a)
