@@ -39,12 +39,12 @@ imgs = [
 ]
 
 
-def run(name, band):
+def run(name, band, dtype=jnp.bfloat16):
     def step(c, ims):
         stack = orb.pyramid_stack(ims + c * 1e-30, cfg)
         vals, codes, xs, ys = fast_select_pallas(
             stack, bounds, cfg.th_hi, cfg.th_lo, orb.EDGE,
-            cfg.k_per_cell, False, compute_dtype=jnp.bfloat16, band=band,
+            cfg.k_per_cell, False, compute_dtype=dtype, band=band,
         )
         return vals[0, 0] + codes[0, 0].astype(jnp.float32) + xs[0, 0] + ys[0, 0]
 
@@ -60,9 +60,16 @@ def run(name, band):
     print(f"{name}: {dt:.2f} ms total, {dt / B:.3f} ms/frame", flush=True)
 
 
-for band in (32, 64, 96):
-    try:
-        run(f"pyramid+select band={band} B={B}", band)
-    except Exception as e:  # noqa: BLE001
-        print(f"band={band}: FAILED {type(e).__name__}: {str(e)[:300]}",
-              flush=True)
+bands = [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [32, 64, 96]
+dtypes = (
+    [dict(bf16=jnp.bfloat16, f32=jnp.float32)[d] for d in sys.argv[3].split(",")]
+    if len(sys.argv) > 3 else [jnp.bfloat16]
+)
+for dtype in dtypes:
+    for band in bands:
+        try:
+            run(f"pyramid+select band={band} dtype={dtype.__name__} B={B}",
+                band, dtype)
+        except Exception as e:  # noqa: BLE001
+            print(f"band={band} dtype={dtype.__name__}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)

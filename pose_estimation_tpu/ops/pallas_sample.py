@@ -253,11 +253,17 @@ def _kernel(
         rowsel = (iota_p == row[t:t + 1, :]).astype(jnp.float32)
         colsel = (iota_p == col[t:t + 1, :]).astype(jnp.float32)
         blur_t = blur[t * SR:t * SR + PS, :]              # [43(r), 43(c)]
+        # DEFAULT (one-bf16-pass) precision: rowsel is one-hot (exact in
+        # bf16) and each output element selects exactly ONE blur value, so
+        # this is a bf16 rounding of the blurred sample — the SAME rounding
+        # the downstream BRIEF difference matmul (DEFAULT, ops/orb.py)
+        # applies to these values anyway; descriptor bits are unchanged.
+        # The IC-moment dot above stays HIGHEST (geometry, not bits).
         t1 = jax.lax.dot_general(
             blur_t, rowsel,
             dimension_numbers=(((0,), (0,)), ((), ())),   # [43(c), P]
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.DEFAULT,
         )
         vrows.append(jnp.sum(t1 * colsel, axis=0, keepdims=True))
     vals = jnp.concatenate(vrows, axis=0)                 # [T, P]
