@@ -309,8 +309,63 @@ def main():
             )
         return batch / dt, dt, float(tracked[1:].mean()), float(ba_iters[1:].mean())
 
+    def measure_scan(n_scan=24):
+        """Single-sequence scan-over-frames replay: the whole frame loop
+        runs on-device in ONE dispatch (`lax.scan` with the VIO state as
+        carry — exactly how `parallel/batched_slam.py` replays sequences),
+        so the number excludes per-dispatch host/tunnel overhead. Chained
+        protocol: the timed scan CONTINUES from the warmup scan's end
+        state on a FRESH frame window, and the per-frame tracked/ba_iters
+        scalars come back for the liveness gate."""
+        st = init_state(1)
+
+        def scan_fn(carry, xs):
+            il, ir, g, a, k = xs
+            s2, trk, bai = run_fn(carry, il, ir, g, a, k)
+            return s2, (trk, bai)
+
+        run_scan = jax.jit(
+            lambda s, xs: jax.lax.scan(scan_fn, s, xs)
+        )
+
+        def window(lo):
+            idx = np.arange(n_scan) + lo
+            return (
+                jnp.stack([frames[j][0] for j in idx]),
+                jnp.stack([frames[j][1] for j in idx]),
+                jnp.stack([gyrs[j] for j in idx]),
+                jnp.stack([accs[j] for j in idx]),
+                jax.random.split(jax.random.PRNGKey(lo), n_scan),
+            )
+
+        t0 = time.time()
+        st, _ = run_scan(st, window(0))
+        float(jax.tree.leaves(st)[0].ravel()[0])
+        log(f"scan: compile+first {time.time() - t0:.1f}s")
+        t0 = time.time()
+        st, (trk, bai) = run_scan(st, window(n_scan))
+        float(jax.tree.leaves(st)[0].ravel()[0])
+        dt = (time.time() - t0) / n_scan
+        trk = np.asarray(trk)
+        bai = np.asarray(bai)
+        log(
+            f"scan x{n_scan}: {dt * 1e3:.2f} ms/frame -> {1 / dt:.1f} "
+            f"frames/s  tracked~{trk.mean():.1f} ba_iters~{bai.mean():.1f}"
+        )
+        if float(trk.mean()) <= 0 or float(bai.mean()) <= 0:
+            raise RuntimeError(
+                f"scan-stream pipeline is dead: tracked={trk.tolist()}"
+            )
+        return 1 / dt, dt, float(trk.mean()), float(bai.mean())
+
     # single-sequence latency mode
     fps_single, dt1, trk1, bai1 = measure(1, n_iter=8)
+    # single-sequence device-throughput mode (scan-over-frames)
+    try:
+        scan_res = measure_scan()
+    except Exception as e:  # noqa: BLE001
+        log(f"scan mode failed: {type(e).__name__}: {str(e)[:200]}")
+        scan_res = None
     # throughput mode: batch of sequences in one program — the
     # "VIO frames/sec/chip" headline (BASELINE.json config 5). Batch sizes
     # are HBM-bounded (full-res 16-plane stacks per sequence); each is
@@ -320,16 +375,26 @@ def main():
     # pyramid einsums); retried each round since the per-level pyramid +
     # fused-select slimming — each size is attempted independently so one
     # OOM/fault cannot void the run.
-    for b in (32, 16, 64):
+    sizes_env = os.environ.get("BENCH_SIZES")
+    sizes = (
+        tuple(int(s) for s in sizes_env.split(",")) if sizes_env
+        else (32, 16, 64)
+    )
+    for b in sizes:
         try:
             results[b] = measure(b, n_iter=5)
         except Exception as e:  # OOM / tunnel fault on this size only
-            log(f"B={b} failed: {type(e).__name__}: {str(e)[:200]}")
+            log(f"B={b} failed: {type(e).__name__}: {str(e)[:1500]}")
     # single-stream-per-chip is itself a deployable configuration; the
     # headline is the best measured frames/s/chip over all of them
     results[1] = (fps_single, dt1, trk1, bai1)
     best_b = max(results, key=lambda b: results[b][0])
     fps_best, dt_best = results[best_b][:2]
+    # the scan-over-frames single-sequence replay is itself a deployable
+    # configuration (it is how dataset replay runs); it competes for the
+    # headline like any batch size
+    if scan_res and scan_res[0] > fps_best:
+        best_b, (fps_best, dt_best) = "scan-1", (scan_res[0], scan_res[1])
     sizes = sorted(results)
     if len(sizes) >= 2:
         (b_lo, b_hi) = sizes[0], sizes[-1]
@@ -351,6 +416,10 @@ def main():
         "best_batch": best_b,
         "single_stream_fps": round(fps_single, 2),
         "single_stream_ms": round(dt1 * 1e3, 2),
+        # scan-over-frames single-sequence device throughput (one dispatch
+        # for the whole frame window; no per-frame host round trip)
+        "scan_stream_fps": round(scan_res[0], 2) if scan_res else None,
+        "scan_stream_ms": round(scan_res[1] * 1e3, 3) if scan_res else None,
         "marginal_ms_per_frame": round(marginal_ms, 3),
         "batched_fps": {str(b): round(results[b][0], 2) for b in results},
         # liveness evidence: mean temporal tracks + LM iterations per frame

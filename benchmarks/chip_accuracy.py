@@ -28,7 +28,9 @@ import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
-SEEDS = (0, 1, 2)
+SEEDS = tuple(
+    int(s) for s in os.environ.get("CHIP_ACC_SEEDS", "0,1,2").split(",")
+)
 DURATION = 6.0
 IMU_NOISE = 2.4e-3
 GATE_ATE_PCT = 2.5
@@ -85,9 +87,16 @@ def main():
     per_seed = {}
     for seed in SEEDS:
         t0 = time.time()
+        extra = {}
+        # qualify non-default kernel dtypes against the e2e gates, e.g.
+        # CHIP_ACC_SAMPLE_DTYPE=bf16 python benchmarks/chip_accuracy.py
+        if os.environ.get("CHIP_ACC_SAMPLE_DTYPE"):
+            extra["sample_dtype"] = os.environ["CHIP_ACC_SAMPLE_DTYPE"]
+        if os.environ.get("CHIP_ACC_SELECT_DTYPE"):
+            extra["select_dtype"] = os.environ["CHIP_ACC_SELECT_DTYPE"]
         cfg = sim_config(
             keyframe_rotation=0.1, keyframe_translation=0.15,
-            full_ba_keyframes=True,
+            full_ba_keyframes=True, **extra,
         )
         sim = StereoInertialSim(cfg, n_landmarks=150, seed=seed)
         slam = VisualInertialSLAM(

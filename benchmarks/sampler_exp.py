@@ -7,8 +7,7 @@ its debug stages (each stage returns early after progressively more work):
   11  aligned dynamic loads only (no re-center rolls)
   12  loads + sublane roll (no lane roll)
    1  full loads/rolls + IC moments (indicator matmul)
-   2  + 7x7 separable blur
-   4  full kernel (+ per-keypoint one-hot sampling dots)
+   4  full kernel (+ per-keypoint blur-folded 7-tap sampling dots)
 
 Also sweeps t_chunk at the full stage. Chained protocol (fresh args,
 scalar readback). Usage: python benchmarks/sampler_exp.py [K_total]
@@ -39,7 +38,7 @@ stacks = [
 pool_xy = orb.POOL_POINTS.astype(np.float32)
 
 
-def run(name, debug_stage, t_chunk):
+def run(name, debug_stage, t_chunk, canvas_dtype=jnp.float32):
     kk = -(-K // t_chunk) * t_chunk
     plane = jnp.asarray(
         np.sort(rng.integers(0, NPLANES, kk)).astype(np.int32)
@@ -51,7 +50,8 @@ def run(name, debug_stage, t_chunk):
     def step(c, s):
         vals, m10, m01 = sample_patches_pallas(
             s + c * 1e-30, plane, xy, pool_xy,
-            t_chunk=t_chunk, debug_stage=debug_stage)
+            t_chunk=t_chunk, debug_stage=debug_stage,
+            canvas_dtype=canvas_dtype)
         return vals[0, 0] + m10[0] + m01[0]
 
     j = jax.jit(step)
@@ -69,7 +69,7 @@ def run(name, debug_stage, t_chunk):
 
 for stage, label in [(10, "load-static"), (11, "load-dyn"),
                      (12, "load+subroll"), (1, "rolls+moments"),
-                     (2, "..+blur"), (4, "full")]:
+                     (4, "full")]:
     try:
         run(f"stage {stage:>2} {label} t=32", stage, 32)
     except Exception as e:  # noqa: BLE001
@@ -81,3 +81,12 @@ for t in (64, 128):
         run(f"stage  4 full t={t}", 4, t)
     except Exception as e:  # noqa: BLE001
         print(f"t={t}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+for stage, label in [(10, "load-static"), (4, "full")]:
+    for t in (32, 128):
+        try:
+            run(f"bf16 stage {stage:>2} {label} t={t}", stage, t,
+                jnp.bfloat16)
+        except Exception as e:  # noqa: BLE001
+            print(f"bf16 t={t}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)

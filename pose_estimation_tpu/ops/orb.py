@@ -198,6 +198,16 @@ class OrbConfig(NamedTuple):
     # e2e from ATE 2.2%/|ba| 0.52 (f32) to 6.3%/2.32 (bf16, seed 2), so
     # accuracy owns the default.
     select_dtype: str = "f32"
+    # HBM dtype of the fused sampler's two-phase patch canvas ("f32" or
+    # "bf16"). bf16 halves the canvas footprint and the per-keypoint
+    # window loads (the sampler kernel's measured floor), and keeps the
+    # canvas under the 2^31-byte buffer ceiling at B=64 batched
+    # extraction; pixels upcast to f32 in-kernel. Cost: <= 0.5-intensity
+    # rounding of sampled BRIEF values (bf16-rounded downstream anyway)
+    # + ~1e-3 rad IC-angle noise. Unlike FAST scores (select_dtype), no
+    # thresholded selection consumes these values, so near-tie
+    # amplification does not apply; the chip e2e artifact gates it.
+    sample_dtype: str = "f32"
 
 
 class OrbFeatures(NamedTuple):
@@ -490,18 +500,22 @@ _PYR_MATS: dict = {}
 _SAMPLERS: dict = {}
 
 
-def _pool_sampler(interpret: bool):
+def _pool_sampler(interpret: bool, canvas_dtype: str = "f32"):
     """Cached batchable fused sampler (see pallas_sample.py); caching keeps
     one custom_vmap instance per mode so jit caches stay warm."""
-    if interpret not in _SAMPLERS:
+    key = (interpret, canvas_dtype)
+    if key not in _SAMPLERS:
         from pose_estimation_tpu.ops.pallas_sample import (
             make_batchable_sampler,
         )
 
-        _SAMPLERS[interpret] = make_batchable_sampler(
-            POOL_POINTS.astype(np.float32), t_chunk=32, interpret=interpret
+        _SAMPLERS[key] = make_batchable_sampler(
+            POOL_POINTS.astype(np.float32), t_chunk=32, interpret=interpret,
+            canvas_dtype=(
+                jnp.bfloat16 if canvas_dtype == "bf16" else jnp.float32
+            ),
         )
-    return _SAMPLERS[interpret]
+    return _SAMPLERS[key]
 
 
 def _pyramid_mats(h: int, w: int, cfg: OrbConfig):
@@ -523,29 +537,40 @@ def _pyramid_mats(h: int, w: int, cfg: OrbConfig):
     return _PYR_MATS[key]
 
 
-def pyramid_stack(imgs: jnp.ndarray, cfg: OrbConfig) -> jnp.ndarray:
-    """[B, H, W] images -> [n_levels * B, H, W] level-major plane stack.
+def pyramid_levels(imgs: jnp.ndarray, cfg: OrbConfig) -> list:
+    """[B, H, W] images -> per-level CONTENT-shaped list [[B, lh, lw], ...].
 
     Each level l >= 1 is resampled from level 0 by two content-shaped
     einsums (cv::resize INTER_LINEAR semantics — the reference's
-    ComputePyramid, `ORBextractor.cc:1107-1132`) and zero-padded into the
-    canvas corner. Bit-identical to the former stacked full-canvas einsum
-    pair (same per-element dot products; padded rows/cols are zero in
-    both). HIGHEST precision keeps the MXU passes f32-accurate (bf16
-    rounding would be ~0.5 intensity units)."""
-    b, h, w = imgs.shape
-    nl = cfg.n_levels
+    ComputePyramid, `ORBextractor.cc:1107-1132`). HIGHEST precision keeps
+    the MXU passes f32-accurate (bf16 rounding would be ~0.5 intensity
+    units)."""
     parts = [imgs]
-    for ra, ca in _pyramid_mats(h, w, cfg):
+    for ra, ca in _pyramid_mats(imgs.shape[1], imgs.shape[2], cfg):
         lv = jnp.einsum(
             "rh,bhw->brw", jnp.asarray(ra), imgs, precision="highest"
         )
         lv = jnp.einsum(
             "brw,wc->brc", lv, jnp.asarray(ca), precision="highest"
         )
-        lh, lw = lv.shape[1], lv.shape[2]
-        parts.append(jnp.pad(lv, ((0, 0), (0, h - lh), (0, w - lw))))
-    return jnp.concatenate(parts, axis=0)
+        parts.append(lv)
+    return parts
+
+
+def pyramid_stack(imgs: jnp.ndarray, cfg: OrbConfig) -> jnp.ndarray:
+    """[B, H, W] images -> [n_levels * B, H, W] level-major plane stack.
+
+    Levels from `pyramid_levels`, zero-padded into the canvas corner.
+    Bit-identical to the former stacked full-canvas einsum pair (same
+    per-element dot products; padded rows/cols are zero in both)."""
+    b, h, w = imgs.shape
+    return jnp.concatenate(
+        [
+            jnp.pad(lv, ((0, 0), (0, h - lv.shape[1]), (0, w - lv.shape[2])))
+            for lv in pyramid_levels(imgs, cfg)
+        ],
+        axis=0,
+    )
 
 
 def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
@@ -668,7 +693,9 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
             ],
             axis=1,
         ).astype(np.int32)                                 # [b, Kp]
-        sampler = _pool_sampler(cfg.sample_backend == "pallas_interpret")
+        sampler = _pool_sampler(
+            cfg.sample_backend == "pallas_interpret", cfg.sample_dtype
+        )
         vals, m10s, m01s = sampler(
             stack,
             jnp.asarray(plane_np.reshape(-1)),

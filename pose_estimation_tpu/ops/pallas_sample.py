@@ -6,23 +6,24 @@ the `brief_descriptors_pool` [K,P] image gather — together the largest
 measured chunk of the extraction step, see NOTES.md) with ONE kernel that,
 for each keypoint:
 
-  1. loads a tile-aligned [56, 128] window around it from the VMEM-resident
+  1. loads a tile-aligned [56, 256] window around it from the VMEM-resident
      plane (Mosaic requires dynamic load offsets/sizes to be (8, 128)-tile
-     aligned; the canvas carries a 64-lane-shifted second copy of each
-     plane so one of the two phases always holds the whole 43-lane patch
-     in a single lane tile) and re-centers it with two `pltpu.roll` dynamic
-     rotates, yielding the 43x43 raw patch (rotated pattern reach
+     aligned; TWO adjacent 128-lane tiles always contain the whole 43-lane
+     patch) and re-centers it with two `pltpu.roll` dynamic rotates,
+     yielding the 43x43 raw patch (rotated pattern reach
      13*sqrt(2) -> 18, + blur radius 3 = 21);
   2. computes the IC moments (m10, m01) of the 31x31 circular patch center
      (`ORBextractor.cc:77-104` semantics, identical to the patch-gather
      oracle `orb.ic_angle`);
-  3. blurs the patch in VMEM with the exact op ordering of
-     `orb.gaussian_blur7` (vertical then horizontal, ascending-tap sums);
-  4. rotates the P pool sample points by the patch orientation WITHOUT
-     transcendentals (cos = m10/r, sin = m01/r) and samples the blurred
-     patch at the rounded offsets via a separable one-hot contraction
-         vals[t,p] = sum_rc blur[t,r,c] * (r==row[t,p]) * (c==col[t,p])
-     — no per-element dynamic indexing (slow in Mosaic), no HBM gather.
+  3. rotates the P pool sample points by the patch orientation WITHOUT
+     transcendentals (cos = m10/r, sin = m01/r) and samples the 7x7
+     sigma=2 BLURRED patch at the rounded offsets via a separable 7-tap
+     contraction of the RAW patch (blur-then-sample is linear, so the
+     gaussian taps fold into the selection columns)
+         vals[t,p] = sum_rc raw[t,r,c] * k[r-row[t,p]+3] * k[c-col[t,p]+3]
+     — no dense blurred patch, no per-element dynamic indexing (slow in
+     Mosaic), no HBM gather. Values equal `orb.gaussian_blur7` sampling up
+     to f32 reassociation (~1e-4 relative; gated by the parity tests).
 
 Everything in-kernel is strictly <= 2-D: this chip's Mosaic crashes
 (layout.h:320 assert) on ANY rank-3 value tensor in a kernel, so the T
@@ -63,14 +64,21 @@ REACH = 21
 PS = 2 * REACH + 1    # 43: raw patch side
 PAD = 2               # reflect-101 canvas pad (= sample reach past EDGE=19)
 LD_R = 56             # aligned load rows: 43 + max 8-align remainder 7 -> 56
-# Aligned load lanes: ONE 128-lane tile. A 43-lane patch at arbitrary x0
-# fits a single 128-aligned window iff x0 % 128 <= 85; the canvas therefore
-# carries a SECOND copy of every plane shifted left by 64 lanes — when
-# x0 % 128 > 85, the shifted copy has (x0 - 64) % 128 <= 63 and the patch
-# fits its aligned window instead. Halves the per-keypoint load+roll
-# traffic vs a 256-lane cover-all window.
-LD_C = 128
-PHASE = 64            # lane shift of the second plane copy
+# bf16 canvases tile as (16, 128): dynamic sublane offsets must be
+# 16-aligned (an 8-aligned bf16 load sent Mosaic's compiler into the
+# weeds), so the load window grows to 43 + max remainder 15 -> 64
+LD_R_BF16 = 64
+ALIGN_BF16 = 16
+# Aligned load lanes: TWO adjacent 128-lane tiles (a 43-lane patch at
+# arbitrary x0 always fits the [x0-aligned-down, +256) window). The kernel
+# used to load a single tile from a canvas carrying a 64-lane-shifted
+# SECOND copy of every plane — but the chip's block-DMA cost model
+# (benchmarks/launch_overhead_exp.py) shows the kernel floor is the
+# full-canvas plane DMA, not the per-keypoint VMEM loads, so the 2x-wider
+# per-keypoint load is ~free while the single-phase canvas cuts the DMA
+# (and the canvas-construction HBM pass) by ~1.7x.
+LD_C = 128            # lane-tile granularity of the dynamic offset
+LD_W = 256            # per-keypoint load window lanes
 SR = 48               # tall-layout row stride per patch (43 rounded up to 8)
 
 
@@ -115,13 +123,13 @@ def _kernel(
     # reductions become an indicator matmul, and the one-hot sampling is an
     # unrolled loop of 2-D dots.
     g = pl.program_id(0)
-    kern = _blur_taps()
 
     # ---- aligned loads + dynamic-roll re-centering, one per keypoint ----
-    # xcomb is a precomputed 128-aligned lane offset into the two-phase
-    # canvas (base copy or the 64-shifted copy, whichever holds the whole
-    # 43-lane patch in one tile); xshift <= 85 is the patch's lane offset
-    # within the loaded window.
+    # xcomb is the patch's 128-aligned lane offset (lane-tile index scaled
+    # in-kernel); xshift <= 127 is its offset within the 256-lane window.
+    is_bf16 = plane_ref.dtype == jnp.bfloat16
+    align = ALIGN_BF16 if is_bf16 else 8
+    ld_r = LD_R_BF16 if is_bf16 else LD_R
     patches = []
     for t in range(t_chunk):
         i = g * t_chunk + t
@@ -130,22 +138,28 @@ def _kernel(
         # to statically PROVE the dynamic lane offset is a 128-multiple
         xcomb = origins_ref[1, i] * LD_C
         xshift = origins_ref[2, i]
-        y0a = (y0 // 8) * 8          # provably 8-aligned sublane offset
+        # provably tile-aligned sublane offset (8 for f32, 16 for bf16)
+        y0a = (y0 // align) * align
         if debug_stage == 10:        # static load only (wrong values)
-            block = plane_ref[0, 0:SR, 0:LD_C]
+            block = plane_ref[0, 0:SR, 0:LD_W].astype(jnp.float32)
         else:
-            block = plane_ref[0, pl.ds(y0a, LD_R), pl.ds(xcomb, LD_C)]
+            # upcast right after the (possibly bf16) load: everything past
+            # the canvas read runs f32 regardless of canvas_dtype
+            block = plane_ref[0, pl.ds(y0a, ld_r), pl.ds(xcomb, LD_W)]
+            block = block.astype(jnp.float32)
             if debug_stage not in (11,):
-                # row r <- r + (y0 - y0a). Shift biased by LD_R: compiled
+                # row r <- r + (y0 - y0a). Shift biased by ld_r: compiled
                 # Mosaic dynamic SUBLANE rotates mis-handle negative shifts
                 # (verified on-chip; lane rotates are fine) — roll by
                 # s + size is equivalent and always non-negative.
-                block = pltpu.roll(block, y0a - y0 + LD_R, 0)
+                block = pltpu.roll(block, y0a - y0 + ld_r, 0)
             block = block[0:SR, :]
             if debug_stage not in (11, 12):
                 # lane l <- l + xshift; wrapped lanes land at columns
-                # >= 128 - 85 = 43 and are sliced away below
-                block = pltpu.roll(block, LD_C - xshift, 1)
+                # >= 256 - 127 = 129 and are sliced away below (the
+                # modulo keeps the dynamic lane shift in [0, 255]:
+                # xshift = 0 would otherwise roll by the full width)
+                block = pltpu.roll(block, (LD_W - xshift) % LD_W, 1)
         patches.append(block)
     # [T*SR, LD_C]; rows t*SR .. t*SR+42 hold patch t, rows +43..47 junk
     tall = jnp.concatenate(patches, axis=0)[:, 0:PS]
@@ -204,33 +218,6 @@ def _kernel(
         )
         return
 
-    # ---- 7x7 sigma=2 Gaussian blur, orb.gaussian_blur7 op order ----
-    # (vertical taps first, then horizontal, ascending i). Vertical rolls
-    # cross patch boundaries only within each patch's 3-px margin + the
-    # 5 junk rows; sampled rows (REACH +- 18 = 3..39) never see them.
-    v = kern[0] * jnp.roll(tall, 3, axis=0)
-    for i in range(1, 7):
-        sh = 3 - i
-        v = v + kern[i] * (jnp.roll(tall, sh, axis=0) if sh else tall)
-    blur = kern[0] * jnp.roll(v, 3, axis=1)
-    for i in range(1, 7):
-        sh = 3 - i
-        blur = blur + kern[i] * (jnp.roll(v, sh, axis=1) if sh else v)
-
-    if debug_stage < 3:
-        srow = jnp.sum(blur, axis=1, keepdims=True)
-        tot = jax.lax.dot_general(
-            gsel, srow, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[:, 0:n_pool] = jnp.broadcast_to(tot, (t_chunk, n_pool))
-        out_ref[:, n_pool:n_pool + 1] = m10
-        out_ref[:, n_pool + 1:n_pool + 2] = m01
-        out_ref[:, n_pool + 2:] = jnp.zeros(
-            (t_chunk, out_ref.shape[1] - n_pool - 2), jnp.float32
-        )
-        return
-
     # ---- rotation from the moments, no transcendentals ----
     # cos = m10 / r, sin = m01 / r; r == 0 (flat patch) degenerates to
     # sampling the center for every pair -> constant descriptor, exactly
@@ -244,26 +231,45 @@ def _kernel(
     col = jnp.round(px * ca - py * sa) + float(REACH)     # [T, P]
     row = jnp.round(px * sa + py * ca) + float(REACH)
 
-    # ---- separable one-hot sampling, one 2-D dot per keypoint ----
+    # ---- blur FOLDED INTO the sampling contraction ----
+    # blur-then-sample is linear, so sampling the 7x7 sigma=2 blurred
+    # patch at (row_p, col_p) equals contracting the RAW patch with
+    # separable 7-tap selection columns
+    #     vals[p] = sum_rc raw[r, c] * k[r - row_p + 3] * k[c - col_p + 3]
+    # (k = the gaussian_blur7 taps). This deletes the two dense blurred
+    # tall arrays the kernel used to build (the old form blurred all
+    # 48 x 128 patch pixels to sample 256 of them — measured 8.2 ms of the
+    # 38.8 ms B=32-bench kernel cost — and their VMEM held the chunk size
+    # at t<=32). The taps are regenerated in-kernel as exp(-d^2/8)/norm:
+    # identical to _blur_taps up to f32 exp rounding (sampled values feed
+    # only the BRIEF difference matmul, which bf16-rounds them anyway).
     iota_p = jax.lax.broadcasted_iota(
         jnp.int32, (PS, n_pool), 0
     ).astype(jnp.float32)
+    norm = 1.0 / float(np.sum(np.exp(-np.arange(-3, 4) ** 2 / 8.0)))
+
+    def taps(center):                                     # [PS, P]
+        d = iota_p - center
+        w = jnp.exp(d * d * (-1.0 / 8.0)) * norm
+        return jnp.where(jnp.abs(d) <= 3.0, w, jnp.zeros_like(w))
+
     vrows = []
     for t in range(t_chunk):
-        rowsel = (iota_p == row[t:t + 1, :]).astype(jnp.float32)
-        colsel = (iota_p == col[t:t + 1, :]).astype(jnp.float32)
-        blur_t = blur[t * SR:t * SR + PS, :]              # [43(r), 43(c)]
-        # DEFAULT (one-bf16-pass) precision: rowsel is one-hot (exact in
-        # bf16) and each output element selects exactly ONE blur value, so
-        # this is a bf16 rounding of the blurred sample — the SAME rounding
-        # the downstream BRIEF difference matmul (DEFAULT, ops/orb.py)
-        # applies to these values anyway; descriptor bits are unchanged.
-        # The IC-moment dot above stays HIGHEST (geometry, not bits).
+        rowsel = taps(row[t:t + 1, :])
+        colsel = taps(col[t:t + 1, :])
+        raw_t = tall[t * SR:t * SR + PS, :]               # [43(r), 43(c)]
+        # HIGHEST precision: with the blur folded into the taps, DEFAULT
+        # (one-bf16-pass) rounds PIXELS x TAPS inside the blur accumulation
+        # itself (~±1.5 intensity on the blurred sample vs ~±0.5 for the
+        # old exact-f32-blur-then-round) — measured on chip to break the
+        # e2e gates (noisy-sim seed 0: ATE 1.6 -> 7.8 %, |ba| 0.8 -> 2.3).
+        # Descriptor VALUES are accuracy-critical through near-tie BRIEF
+        # bits; only the final difference matmul may round (ops/orb.py).
         t1 = jax.lax.dot_general(
-            blur_t, rowsel,
+            raw_t, rowsel,
             dimension_numbers=(((0,), (0,)), ((), ())),   # [43(c), P]
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+            precision=jax.lax.Precision.HIGHEST,
         )
         vrows.append(jnp.sum(t1 * colsel, axis=0, keepdims=True))
     vals = jnp.concatenate(vrows, axis=0)                 # [T, P]
@@ -284,6 +290,7 @@ def sample_patches_pallas(
     t_chunk: int = 32,
     interpret: bool = False,
     debug_stage: int = 4,
+    canvas_dtype=jnp.float32,
 ):
     """(vals [K, P], m10 [K], m01 [K]) — blurred pool-point samples and IC
     moments per keypoint.
@@ -306,39 +313,41 @@ def sample_patches_pallas(
     # its blur stencil another 3 — 2 px past the canvas edge for level-0
     # keypoints on the detection margin. Reflect-101 matches what
     # `orb.gaussian_blur7` computes at the canvas border. Beyond that, the
-    # canvas carries TWO lane-phase copies of each plane (base + shifted
-    # left by PHASE=64) so every 43-lane patch fits ONE 128-lane aligned
-    # window (see LD_C above); extra area is loaded but rolled/sliced away.
+    # lane span only needs to cover the largest aligned 256-lane load
+    # window AND the content (whichever reaches further), lane-tiled.
     hp, wp = h + 2 * PAD, w + 2 * PAD
-    hp2 = ((hp - PS) // 8) * 8 + LD_R
-    # each copy's lane span must cover BOTH its largest aligned window and
-    # its full content (whichever reaches further), rounded to lane tiles
-    wb = 128 * max((wp - PS) // 128 + 1, -(-wp // 128))
-    ws = 128 * max((wp - PHASE - PS) // 128 + 1, -(-(wp - PHASE) // 128))
+    if canvas_dtype == jnp.bfloat16:
+        # 16-aligned max load start + the widened bf16 load window
+        hp2 = ((hp - PS) // ALIGN_BF16) * ALIGN_BF16 + LD_R_BF16
+    else:
+        hp2 = ((hp - PS) // 8) * 8 + LD_R
+    wb = max(((wp - PS) // 128) * 128 + LD_W, -(-wp // 128) * 128)
     stack_p = jnp.pad(
         stack, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect"
     )
-    stack_p = jnp.pad(stack_p, ((0, 0), (0, hp2 - hp), (0, 0)))
-    base = jnp.pad(stack_p, ((0, 0), (0, 0), (0, wb - wp)))
-    shifted = jnp.pad(
-        stack_p[:, :, PHASE:], ((0, 0), (0, 0), (0, ws - (wp - PHASE)))
-    )
-    stack_p = jnp.concatenate([base, shifted], axis=2)    # [N, hp2, wb+ws]
+    stack_p = jnp.pad(
+        stack_p, ((0, 0), (0, hp2 - hp), (0, wb - wp))
+    )                                                     # [N, hp2, wb]
+    # canvas_dtype=bfloat16 halves the canvas HBM footprint and the
+    # per-keypoint window DMA bytes (the kernel's measured floor is the
+    # 32 aligned loads per chunk). Pixels are upcast to f32 right after
+    # the load; effect on outputs = <= 0.5-intensity pixel rounding in the
+    # sampled values (which the BRIEF diff matmul bf16-rounds anyway) and
+    # ~0.2% relative IC-moment perturbation (angle noise ~1e-3 rad, inside
+    # the 5e-3 oracle gate). It also halves the canvas's distance to the
+    # 2^31-byte Mosaic buffer ceiling at large batched extractions (the
+    # old f32 two-phase canvas crossed it at B=64 EuRoC scale).
+    stack_p = stack_p.astype(canvas_dtype)
 
     cx = jnp.round(xy[:, 0]).astype(jnp.int32)
     cy = jnp.round(xy[:, 1]).astype(jnp.int32)
     y0 = jnp.clip(cy + PAD - REACH, 0, hp - PS)
     x0 = jnp.clip(cx + PAD - REACH, 0, wp - PS)
-    # lane phase: patches with x0 % 128 > 128 - PS use the shifted copy
-    # (whose in-copy offset x0 - PHASE has remainder <= 128 - PS - ...)
-    m = x0 % 128
-    use2 = m > 128 - PS                                   # 43-lane fit test
     # passed as a lane-TILE index (kernel rescales by 128 so Mosaic can
-    # prove alignment of the dynamic load offset)
-    xtile = jnp.where(
-        use2, wb // 128 + (x0 - PHASE) // 128, x0 // 128
-    )
-    xshift = jnp.where(use2, (x0 - PHASE) % 128, m)
+    # prove alignment of the dynamic load offset); the 256-lane window at
+    # the aligned-down offset always contains the 43-lane patch
+    xtile = x0 // 128
+    xshift = x0 % 128
     origins = jnp.stack([y0, xtile, xshift], axis=0)      # [3, K] int32
     chunk_plane = plane.astype(jnp.int32).reshape(n_chunks, t_chunk)[:, 0]
 
@@ -346,7 +355,7 @@ def sample_patches_pallas(
         num_scalar_prefetch=2,                            # chunk_plane, origins
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, hp2, wb + ws), lambda g, cp, og: (cp[g], 0, 0)),
+            pl.BlockSpec((1, hp2, wb), lambda g, cp, og: (cp[g], 0, 0)),
             pl.BlockSpec((2, n_pool), lambda g, cp, og: (0, 0)),
         ],
         out_specs=pl.BlockSpec((t_chunk, out_w), lambda g, cp, og: (g, 0)),
@@ -364,7 +373,8 @@ def sample_patches_pallas(
 
 
 def make_batchable_sampler(pool_xy: np.ndarray, t_chunk: int = 32,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           canvas_dtype=jnp.float32):
     """`sample_patches_pallas` closed over the statics, with a custom vmap
     rule that FLATTENS the batch into the plane axis instead of lifting the
     kernel grid: keypoints are independent and `plane` already addresses the
@@ -377,7 +387,8 @@ def make_batchable_sampler(pool_xy: np.ndarray, t_chunk: int = 32,
     @custom_vmap
     def sample(stack, plane, xy):
         return sample_patches_pallas(
-            stack, plane, xy, pool_xy, t_chunk=t_chunk, interpret=interpret
+            stack, plane, xy, pool_xy, t_chunk=t_chunk, interpret=interpret,
+            canvas_dtype=canvas_dtype,
         )
 
     @sample.def_vmap
@@ -392,12 +403,43 @@ def make_batchable_sampler(pool_xy: np.ndarray, t_chunk: int = 32,
             xy = jnp.broadcast_to(xy[None], (b,) + xy.shape)
         n = stack.shape[1]
         k = plane.shape[1]
-        flat_plane = (plane + jnp.arange(b, dtype=plane.dtype)[:, None] * n)
-        vals, m10, m01 = sample(
-            stack.reshape((b * n,) + stack.shape[2:]),
-            flat_plane.reshape(b * k),
-            xy.reshape(b * k, 2),
-        )
+        h, w = stack.shape[2], stack.shape[3]
+
+        # XLA/Mosaic buffers must stay under 2^31 BYTES (the old f32
+        # two-phase canvas crossed the ceiling at B=64 EuRoC scale: 3.1 GB,
+        # killing the compile). Lanes are independent, keypoints are
+        # lane-major in the flattened layout, and each lane's chunks stay
+        # plane-uniform — so splitting the batch into lane groups and
+        # calling the kernel per group is exact, and only the per-call
+        # canvas shrinks. Canvas dims mirror sample_patches_pallas.
+        dsize = jnp.dtype(canvas_dtype).itemsize
+        wp_, hp_ = w + 2 * PAD, h + 2 * PAD
+        wb_ = max(((wp_ - PS) // 128) * 128 + LD_W, -(-wp_ // 128) * 128)
+        align_ = ALIGN_BF16 if canvas_dtype == jnp.bfloat16 else 8
+        ldr_ = LD_R_BF16 if canvas_dtype == jnp.bfloat16 else LD_R
+        hp2_ = ((hp_ - PS) // align_) * align_ + ldr_
+        canvas_bytes = b * n * hp2_ * wb_ * dsize
+        n_splits = 1
+        while canvas_bytes / n_splits > 2**31 * 0.9 and n_splits < b:
+            n_splits *= 2
+        bs = -(-b // n_splits)
+
+        def run(stack_g, plane_g, xy_g):
+            bg = stack_g.shape[0]
+            fp = plane_g + jnp.arange(bg, dtype=plane_g.dtype)[:, None] * n
+            return sample(
+                stack_g.reshape((bg * n,) + stack_g.shape[2:]),
+                fp.reshape(bg * k),
+                xy_g.reshape(bg * k, 2),
+            )
+
+        parts = [
+            run(stack[i : i + bs], plane[i : i + bs], xy[i : i + bs])
+            for i in range(0, b, bs)
+        ]
+        vals = jnp.concatenate([p[0] for p in parts], axis=0)
+        m10 = jnp.concatenate([p[1] for p in parts], axis=0)
+        m01 = jnp.concatenate([p[2] for p in parts], axis=0)
         out = (vals.reshape(b, k, -1), m10.reshape(b, k), m01.reshape(b, k))
         return out, (True, True, True)
 

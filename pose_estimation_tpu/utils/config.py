@@ -235,6 +235,9 @@ class VIOConfig:
     # score-chain compute dtype of the fused select kernel ("bf16"/"f32"):
     # see ops.orb.OrbConfig.select_dtype
     select_dtype: str = "f32"
+    # HBM dtype of the fused sampler's patch canvas ("bf16"/"f32"):
+    # see ops.orb.OrbConfig.sample_dtype
+    sample_dtype: str = "f32"
 
     @property
     def profile(self) -> DatasetProfile:

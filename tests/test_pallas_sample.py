@@ -123,6 +123,79 @@ class TestSampleKernel:
         # anything beyond a fraction of a percent means a real bug
         assert mismatch < 5e-3, mismatch
 
+    def test_bf16_canvas_parity(self):
+        """sample_dtype='bf16' (halved canvas HBM + loads): same keypoints,
+        angles within IC-moment bf16 noise, descriptor bits equal away
+        from rounding ties, sampled values within 1 intensity unit."""
+        rng = np.random.default_rng(11)
+        h, w = 120, 160
+        imgs = jnp.asarray(rng.uniform(0, 255, (2, h, w)), jnp.float32)
+        cfg_f = orb.OrbConfig(
+            n_features=64, n_levels=3, sample_backend="pallas_interpret"
+        )
+        cfg_b = cfg_f._replace(sample_dtype="bf16")
+        ff = orb.extract_batch(imgs, cfg_f)
+        fb = orb.extract_batch(imgs, cfg_b)
+        # detection path untouched by sample_dtype
+        np.testing.assert_array_equal(
+            np.asarray(ff.valid), np.asarray(fb.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ff.xy), np.asarray(fb.xy), atol=1e-6
+        )
+        v = np.asarray(ff.valid)
+        da = np.angle(
+            np.exp(1j * (np.asarray(ff.angle) - np.asarray(fb.angle)))
+        )
+        # weak-gradient patches have small |(m10, m01)|, so per-pixel bf16
+        # rounding can tilt the IC angle by up to a few centirad (measured
+        # 0.025 worst on this fixture). BRIEF is robust far beyond that
+        # (classic ORB quantizes angles to 12-degree bins); the binding
+        # accuracy gates are the descriptor-quality and e2e-bias tests +
+        # the on-chip artifact.
+        assert np.abs(da[v]).max() < 0.05
+        bits_f = np.asarray(ff.desc)[v]
+        bits_b = np.asarray(fb.desc)[v]
+        mismatch = (bits_f != bits_b).mean()
+        assert mismatch < 3e-2, mismatch
+
+        # direct value check on the raw sampler
+        n = 2
+        stack, rng2 = _mk_stack(n, 96, 128, seed=5)
+        k = 32
+        plane = np.repeat(np.arange(n), k // n).astype(np.int32)
+        xy = np.stack(
+            [rng2.uniform(22, 128 - 22, k), rng2.uniform(22, 96 - 22, k)],
+            -1,
+        ).astype(np.float32)
+        vals, m10, m01 = sample_patches_pallas(
+            stack, jnp.asarray(plane), jnp.asarray(xy),
+            POOL_POINTS.astype(np.float32), t_chunk=8, interpret=True,
+            canvas_dtype=jnp.bfloat16,
+        )
+        # value oracle AT THE KERNEL'S OWN ROTATION (bf16 moments shift the
+        # rounded sample positions, so a fixed-position diff vs the f32 run
+        # sees full pixel contrast; the machinery check must share the
+        # rotation — same structure as test_matches_xla_components). The
+        # remaining delta is bf16 pixel rounding through the blur: <= 0.5.
+        h2, w2 = 96, 128
+        blur = np.asarray(orb.gaussian_blur7(stack))
+        r = np.sqrt(np.asarray(m10) ** 2 + np.asarray(m01) ** 2)
+        ca = (np.asarray(m10) / np.maximum(r, 1e-12))[:, None]
+        sa = (np.asarray(m01) / np.maximum(r, 1e-12))[:, None]
+        px = POOL_POINTS[None, :, 0].astype(np.float32)
+        py = POOL_POINTS[None, :, 1].astype(np.float32)
+        col = np.round(px * ca - py * sa).astype(np.int32)
+        row = np.round(px * sa + py * ca).astype(np.int32)
+        cx = np.round(xy[:, 0]).astype(np.int32)[:, None]
+        cy = np.round(xy[:, 1]).astype(np.int32)[:, None]
+        vo = blur[
+            plane[:, None],
+            np.clip(cy + row, 0, h2 - 1),
+            np.clip(cx + col, 0, w2 - 1),
+        ]
+        np.testing.assert_allclose(np.asarray(vals), vo, atol=1.0)
+
     def test_canvas_spans_cover_content(self):
         """Regression: for widths where (wp - PHASE - PS) % 128 > 85 the
         shifted-copy span used to come out SMALLER than its content and
