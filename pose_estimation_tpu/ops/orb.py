@@ -612,7 +612,14 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     # diffs <= 255 fit bf16's 8-bit mantissa) and carry <= 0.5-intensity
     # rounding on resampled levels — strictly less perturbation than the
     # reference's own uint8 pyramid.
-    stack = pyramid_stack(imgs, cfg)
+    levels = pyramid_levels(imgs, cfg)
+    stack = jnp.concatenate(
+        [
+            jnp.pad(lv, ((0, 0), (0, h - lv.shape[1]), (0, w - lv.shape[2])))
+            for lv in levels
+        ],
+        axis=0,
+    )
     bounds = [shapes[p // b] for p in range(nl * b)]
 
     if cfg.fast_backend == "pallas" and w % 16 == 0 and cfg.cell == 16:
@@ -670,45 +677,44 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     base_flat = base_all.reshape(b * k_tot)
     if cfg.sample_backend in ("pallas", "pallas_interpret"):
         # one fused per-keypoint kernel for IC moments + blur + rotated
-        # pool sampling (ops/pallas_sample.py). The kernel's chunks must be
-        # plane-uniform (its grid keeps one plane VMEM-resident per chunk),
-        # so each (level, image) block — static slices of the level-major
-        # layout — is padded to the chunk size, and results sliced back.
+        # pool sampling (ops/pallas_sample.py), called PER LEVEL on the
+        # CONTENT-shaped level planes. The kernel's measured floor is the
+        # per-chunk plane-block DMA (benchmarks/launch_overhead_exp.py), so
+        # feeding it the full-canvas stack paid for the ~2.2x padding waste
+        # of levels >= 1 on every plane fetch; per-level calls cut the DMA
+        # bytes to the content. Side effect (deliberate): each level's
+        # canvas is reflect-101-padded at its own CONTENT edge, which is
+        # what the reference computes (per-level GaussianBlur with
+        # BORDER_REFLECT_101, `ORBextractor.cc:1086-1090`) — the padded
+        # full-canvas form read zero fill beyond upper-level content
+        # instead (same few-edge-bits effect, closer-to-reference values).
+        # The kernel's chunks must be plane-uniform (its grid keeps one
+        # plane VMEM-resident per chunk), so each (level, image) block is
+        # padded to the chunk size, and results sliced back.
         t_chunk = 32
         pads = [-(-budgets[l] // t_chunk) * t_chunk for l in range(nl)]
-        xy_pad = jnp.concatenate(
-            [
-                jnp.pad(xy_l[l], ((0, 0), (0, pads[l] - budgets[l]), (0, 0)))
-                for l in range(nl)
-            ],
-            axis=1,
-        )                                                  # [b, Kp, 2]
-        kp_tot = sum(pads)
-        plane_np = np.concatenate(
-            [
-                np.broadcast_to(
-                    (l * b + np.arange(b))[:, None], (b, pads[l])
-                )
-                for l in range(nl)
-            ],
-            axis=1,
-        ).astype(np.int32)                                 # [b, Kp]
         sampler = _pool_sampler(
             cfg.sample_backend == "pallas_interpret", cfg.sample_dtype
         )
-        vals, m10s, m01s = sampler(
-            stack,
-            jnp.asarray(plane_np.reshape(-1)),
-            xy_pad.reshape(b * kp_tot, 2),
-        )
-        packed = jnp.concatenate(
-            [vals, m10s[:, None], m01s[:, None]], axis=1
-        ).reshape(b, kp_tot, -1)
-        offs = np.concatenate([[0], np.cumsum(pads)])
-        packed = jnp.concatenate(
-            [packed[:, offs[l] : offs[l] + budgets[l]] for l in range(nl)],
-            axis=1,
-        )                                                  # [b, K_tot, P+2]
+        packed_l = []
+        for lvl in range(nl):
+            kp_l = pads[lvl]
+            xy_pad = jnp.pad(
+                xy_l[lvl], ((0, 0), (0, kp_l - budgets[lvl]), (0, 0))
+            )                                              # [b, kp_l, 2]
+            plane_np = np.broadcast_to(
+                np.arange(b, dtype=np.int32)[:, None], (b, kp_l)
+            )
+            vals, m10s, m01s = sampler(
+                levels[lvl],
+                jnp.asarray(plane_np.reshape(-1)),
+                xy_pad.reshape(b * kp_l, 2),
+            )
+            pk = jnp.concatenate(
+                [vals, m10s[:, None], m01s[:, None]], axis=1
+            ).reshape(b, kp_l, -1)
+            packed_l.append(pk[:, : budgets[lvl]])
+        packed = jnp.concatenate(packed_l, axis=1)         # [b, K_tot, P+2]
         npool = POOL_POINTS.shape[0]
         ang = jnp.arctan2(
             packed[..., npool + 1], packed[..., npool]

@@ -316,12 +316,16 @@ def sample_patches_pallas(
     # lane span only needs to cover the largest aligned 256-lane load
     # window AND the content (whichever reaches further), lane-tiled.
     hp, wp = h + 2 * PAD, w + 2 * PAD
+    # max(..., 0): planes SMALLER than the 43px patch (tiny top pyramid
+    # levels of small test images under the per-level content-shaped
+    # calls) clamp every keypoint to the corner and read the zero fill
+    # beyond their content — valid detections never sit on such planes
     if canvas_dtype == jnp.bfloat16:
         # 16-aligned max load start + the widened bf16 load window
-        hp2 = ((hp - PS) // ALIGN_BF16) * ALIGN_BF16 + LD_R_BF16
+        hp2 = (max(hp - PS, 0) // ALIGN_BF16) * ALIGN_BF16 + LD_R_BF16
     else:
-        hp2 = ((hp - PS) // 8) * 8 + LD_R
-    wb = max(((wp - PS) // 128) * 128 + LD_W, -(-wp // 128) * 128)
+        hp2 = (max(hp - PS, 0) // 8) * 8 + LD_R
+    wb = max((max(wp - PS, 0) // 128) * 128 + LD_W, -(-wp // 128) * 128)
     stack_p = jnp.pad(
         stack, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect"
     )
@@ -341,8 +345,8 @@ def sample_patches_pallas(
 
     cx = jnp.round(xy[:, 0]).astype(jnp.int32)
     cy = jnp.round(xy[:, 1]).astype(jnp.int32)
-    y0 = jnp.clip(cy + PAD - REACH, 0, hp - PS)
-    x0 = jnp.clip(cx + PAD - REACH, 0, wp - PS)
+    y0 = jnp.clip(cy + PAD - REACH, 0, max(hp - PS, 0))
+    x0 = jnp.clip(cx + PAD - REACH, 0, max(wp - PS, 0))
     # passed as a lane-TILE index (kernel rescales by 128 so Mosaic can
     # prove alignment of the dynamic load offset); the 256-lane window at
     # the aligned-down offset always contains the 43-lane patch
@@ -414,10 +418,12 @@ def make_batchable_sampler(pool_xy: np.ndarray, t_chunk: int = 32,
         # canvas shrinks. Canvas dims mirror sample_patches_pallas.
         dsize = jnp.dtype(canvas_dtype).itemsize
         wp_, hp_ = w + 2 * PAD, h + 2 * PAD
-        wb_ = max(((wp_ - PS) // 128) * 128 + LD_W, -(-wp_ // 128) * 128)
+        wb_ = max(
+            (max(wp_ - PS, 0) // 128) * 128 + LD_W, -(-wp_ // 128) * 128
+        )
         align_ = ALIGN_BF16 if canvas_dtype == jnp.bfloat16 else 8
         ldr_ = LD_R_BF16 if canvas_dtype == jnp.bfloat16 else LD_R
-        hp2_ = ((hp_ - PS) // align_) * align_ + ldr_
+        hp2_ = (max(hp_ - PS, 0) // align_) * align_ + ldr_
         canvas_bytes = b * n * hp2_ * wb_ * dsize
         n_splits = 1
         while canvas_bytes / n_splits > 2**31 * 0.9 and n_splits < b:
