@@ -212,7 +212,12 @@ def main():
 
     # enough distinct frames that every lane of the largest batch sees its
     # own un-wrapped slice of the trajectory: lane j's i-th frame is j+i
-    n_frames = 70
+    sizes_env = os.environ.get("BENCH_SIZES")
+    sizes = (
+        tuple(int(s) for s in sizes_env.split(",")) if sizes_env
+        else (32, 16, 64)
+    )
+    n_frames = max(70, max(sizes) + 6)
     t0 = time.time()
     frames, gyrs, accs, mask, state0 = make_sim_world(cfg, n_frames)
     log(f"sim world: {n_frames} frames rendered in {time.time() - t0:.1f}s")
@@ -375,11 +380,6 @@ def main():
     # pyramid einsums); retried each round since the per-level pyramid +
     # fused-select slimming — each size is attempted independently so one
     # OOM/fault cannot void the run.
-    sizes_env = os.environ.get("BENCH_SIZES")
-    sizes = (
-        tuple(int(s) for s in sizes_env.split(",")) if sizes_env
-        else (32, 16, 64)
-    )
     for b in sizes:
         try:
             results[b] = measure(b, n_iter=5)

@@ -237,7 +237,7 @@ class VIOConfig:
     select_dtype: str = "f32"
     # HBM dtype of the fused sampler's patch canvas ("bf16"/"f32"):
     # see ops.orb.OrbConfig.sample_dtype
-    sample_dtype: str = "f32"
+    sample_dtype: str = "bf16"
 
     @property
     def profile(self) -> DatasetProfile:

@@ -106,7 +106,11 @@ class TestSampleKernel:
         cfg_x = orb.OrbConfig(
             n_features=64, n_levels=3, sample_backend="xla"
         )
-        cfg_p = cfg_x._replace(sample_backend="pallas_interpret")
+        # pin f32: this test isolates the KERNEL vs the XLA path; the bf16
+        # canvas default is covered by test_bf16_canvas_parity
+        cfg_p = cfg_x._replace(
+            sample_backend="pallas_interpret", sample_dtype="f32"
+        )
         fx = orb.extract_batch(imgs, cfg_x)
         fp = orb.extract_batch(imgs, cfg_p)
         np.testing.assert_array_equal(np.asarray(fx.valid), np.asarray(fp.valid))
@@ -131,7 +135,8 @@ class TestSampleKernel:
         h, w = 120, 160
         imgs = jnp.asarray(rng.uniform(0, 255, (2, h, w)), jnp.float32)
         cfg_f = orb.OrbConfig(
-            n_features=64, n_levels=3, sample_backend="pallas_interpret"
+            n_features=64, n_levels=3, sample_backend="pallas_interpret",
+            sample_dtype="f32",
         )
         cfg_b = cfg_f._replace(sample_dtype="bf16")
         ff = orb.extract_batch(imgs, cfg_f)
