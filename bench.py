@@ -42,10 +42,18 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 REFERENCE_FRONTEND_FPS = 76.7  # measured, BASELINE.md
 N_DISTINCT = 4                 # distinct stereo frames cycled through
+
+# Global wall-clock budget. The round-3 driver artifact was EMPTY (rc 124,
+# no tail) because the old supervisor buffered everything and allowed up to
+# 4x1800 s — far past the driver's own timeout. Now: one absolute deadline,
+# child stderr streamed live, every intermediate JSON line captured, and the
+# LAST one re-printed even if the child dies mid-ladder.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1200"))
 
 
 def log(*a):
@@ -55,32 +63,68 @@ def log(*a):
 def supervise():
     """The axon TPU tunnel nondeterministically faults on large programs
     ("TPU worker process crashed"); identical programs succeed on retry.
-    Run the measurement in a child process and retry a few times."""
-    for attempt in range(4):
+    Run the measurement in a child process under a GLOBAL deadline, stream
+    its stderr live, and keep the latest JSON line it printed: the worker
+    emits a cumulative result line after EVERY completed measurement, so a
+    fault or deadline kill mid-ladder still leaves the headline on record."""
+    t_end = time.monotonic() + DEADLINE_S
+    best_json = None
+    attempt = 0
+    while time.monotonic() < t_end - 60:
         if attempt:
-            log(f"[bench] retry {attempt} after TPU fault; waiting for recovery...")
-            time.sleep(150)
-        env = dict(os.environ, BENCH_WORKER="1")
+            # tunnel recovery pause, but never sleep past the deadline
+            pause = min(120.0, max(0.0, t_end - time.monotonic() - 120))
+            if pause <= 0:
+                break
+            log(f"[bench] retry {attempt} after TPU fault; sleeping {pause:.0f}s")
+            time.sleep(pause)
+        attempt += 1
+        remaining = t_end - time.monotonic()
+        env = dict(
+            os.environ, BENCH_WORKER="1",
+            BENCH_DEADLINE_TS=str(time.time() + remaining - 30),
+        )
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+
+        def tee_stderr(pipe):
+            for line in pipe:
+                sys.stderr.write(line)
+                sys.stderr.flush()
+
+        terr = threading.Thread(target=tee_stderr, args=(proc.stderr,),
+                                daemon=True)
+        terr.start()
+
+        def read_stdout():
+            nonlocal best_json
+            for line in proc.stdout:
+                if line.startswith("{"):
+                    best_json = line.strip()
+                    log(f"[bench] captured result: {best_json[:120]}...")
+                else:
+                    sys.stderr.write(line)
+
+        tout = threading.Thread(target=read_stdout, daemon=True)
+        tout.start()
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=1800,
-            )
-        except subprocess.TimeoutExpired as e:
-            # a hung tunnel (e.g. backend init never returns) counts as a
-            # failed attempt, not a crash of the supervisor
-            for s in (e.stderr or b""), (e.stdout or b""):
-                if s:
-                    sys.stderr.write(s if isinstance(s, str) else s.decode())
-            log(f"[bench] attempt {attempt} timed out after 1800s")
-            continue
-        sys.stderr.write(proc.stderr)
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                print(line)
-                return 0
-        log(f"[bench] attempt {attempt} failed (rc={proc.returncode})")
-    log("[bench] all attempts failed")
+            proc.wait(timeout=max(30.0, t_end - time.monotonic()))
+        except subprocess.TimeoutExpired:
+            log("[bench] deadline reached; killing worker")
+            proc.kill()
+            proc.wait()
+        tout.join(timeout=10)
+        terr.join(timeout=10)
+        if proc.returncode == 0 and best_json:
+            break
+        log(f"[bench] attempt {attempt} ended rc={proc.returncode}")
+    if best_json:
+        print(best_json)
+        return 0
+    log("[bench] no result within deadline")
     return 1
 
 
@@ -196,12 +240,37 @@ def bench_config():
     )
 
 
+def deadline_ts():
+    """Absolute worker deadline (epoch seconds) set by the supervisor."""
+    return float(os.environ.get("BENCH_DEADLINE_TS", time.time() + 86400))
+
+
+def time_left():
+    return deadline_ts() - time.time()
+
+
 def main():
     import functools
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if os.environ.get("BENCH_PLATFORM"):
+        # test hook: the sitecustomize overrides JAX_PLATFORMS, so a CPU
+        # smoke run of the worker must set the platform via jax.config
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    # Persistent compilation cache: repeat compiles of the unchanged step
+    # (across retries AND across driver rounds) become near-free. The cache
+    # stores serialized executables keyed by HLO+backend; harmless no-op if
+    # the axon PJRT plugin declines serialization.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] compile cache unavailable: {e}")
 
     from pose_estimation_tpu.camera import CameraModel
     from pose_estimation_tpu.models import vio as vio_mod
@@ -215,7 +284,7 @@ def main():
     sizes_env = os.environ.get("BENCH_SIZES")
     sizes = (
         tuple(int(s) for s in sizes_env.split(",")) if sizes_env
-        else (32, 16, 64)
+        else (32, 64, 16)
     )
     n_frames = max(70, max(sizes) + 6)
     t0 = time.time()
@@ -260,18 +329,20 @@ def main():
 
     def measure(batch, n_iter=8):
         """Chained-state timing with a scalar readback barrier. Images, IMU
-        and keys are per-iteration-varying jitted-function ARGUMENTS."""
+        and keys are per-iteration-varying jitted-function ARGUMENTS. The
+        carry state is DONATED (the update is a pure chain s -> s'), saving
+        an alias-copy of the multi-MB window/pool state every frame."""
         assert batch + n_iter <= n_frames, "raise n_frames (no wraparound)"
-        st = init_state(batch)
         if batch == 1:
-            step = jax.jit(run_fn)
+            step = jax.jit(run_fn, donate_argnums=0)
             args = [
                 (frames[i][0], frames[i][1], gyrs[i], accs[i],
                  jax.random.PRNGKey(i))
                 for i in range(n_iter)
             ]
         else:
-            step = jax.jit(jax.vmap(run_fn, in_axes=(0, 0, 0, 0, 0, 0)))
+            step = jax.jit(jax.vmap(run_fn, in_axes=(0, 0, 0, 0, 0, 0)),
+                           donate_argnums=0)
             # batch of sequences: lane j replays the trajectory with a
             # j-frame phase offset — every lane sees ITS OWN consistent
             # (frames, IMU) stream, no wraparound teleports
@@ -287,11 +358,11 @@ def main():
                      jax.random.split(jax.random.PRNGKey(i), batch))
                 )
         t0 = time.time()
-        s2, _, _ = step(st, *args[0])
+        s2, _, _ = step(init_state(batch), *args[0])
         float(jax.tree.leaves(s2)[0].ravel()[0])
         log(f"B={batch}: compile+first {time.time() - t0:.1f}s")
         t0 = time.time()
-        s = st
+        s = init_state(batch)  # fresh buffers (warmup's were donated)
         stats = []
         for i in range(n_iter):
             s, trk, bai = step(s, *args[i])
@@ -330,7 +401,7 @@ def main():
             return s2, (trk, bai)
 
         run_scan = jax.jit(
-            lambda s, xs: jax.lax.scan(scan_fn, s, xs)
+            lambda s, xs: jax.lax.scan(scan_fn, s, xs), donate_argnums=0
         )
 
         def window(lo):
@@ -363,70 +434,79 @@ def main():
             )
         return 1 / dt, dt, float(trk.mean()), float(bai.mean())
 
-    # single-sequence latency mode
-    fps_single, dt1, trk1, bai1 = measure(1, n_iter=8)
-    # single-sequence device-throughput mode (scan-over-frames)
-    try:
-        scan_res = measure_scan()
-    except Exception as e:  # noqa: BLE001
-        log(f"scan mode failed: {type(e).__name__}: {str(e)[:200]}")
-        scan_res = None
-    # throughput mode: batch of sequences in one program — the
-    # "VIO frames/sec/chip" headline (BASELINE.json config 5). Batch sizes
-    # are HBM-bounded (full-res 16-plane stacks per sequence); each is
-    # attempted independently so one OOM/fault cannot void the run.
+    # HEADLINE-FIRST ladder under the worker deadline: the batched
+    # throughput headline (B=32) runs first and its cumulative JSON line is
+    # emitted IMMEDIATELY, then each further mode (single-stream, B=64,
+    # B=16, scan) re-emits the full line as it completes — so a tunnel
+    # fault or deadline kill mid-ladder still leaves a parseable headline
+    # on stdout for the supervisor. (Round 3's artifact was empty exactly
+    # because nothing was emitted until the whole ladder finished.)
     results = {}
+    scan_res = None
+
+    def emit():
+        if not results:
+            return
+        best_b = max(results, key=lambda b: results[b][0])
+        fps_best, dt_best = results[best_b][:2]
+        # the scan-over-frames single-sequence replay is itself a
+        # deployable configuration (it is how dataset replay runs); it
+        # competes for the headline like any batch size
+        if scan_res and scan_res[0] > fps_best:
+            best_b, (fps_best, dt_best) = "scan-1", scan_res[:2]
+        ks = sorted(results)
+        if len(ks) >= 2:
+            b_lo, b_hi = ks[0], ks[-1]
+            marginal_ms = (
+                (results[b_hi][1] - results[b_lo][1]) * 1e3 / (b_hi - b_lo)
+            )
+        else:
+            marginal_ms = results[ks[0]][1] * 1e3 / ks[0]
+        single = results.get(1)
+        print(json.dumps({
+            "metric": "vio_frames_per_sec_per_chip_euroc_752x480",
+            "value": round(fps_best, 2),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(fps_best / REFERENCE_FRONTEND_FPS, 3),
+            "best_batch": best_b,
+            "single_stream_fps": round(single[0], 2) if single else None,
+            "single_stream_ms": round(single[1] * 1e3, 2) if single else None,
+            # scan-over-frames single-sequence device throughput (one
+            # dispatch for the whole window; no per-frame host round trip)
+            "scan_stream_fps": round(scan_res[0], 2) if scan_res else None,
+            "scan_stream_ms": round(scan_res[1] * 1e3, 3) if scan_res else None,
+            "marginal_ms_per_frame": round(marginal_ms, 3),
+            "batched_fps": {str(b): round(results[b][0], 2) for b in results},
+            # liveness evidence: mean temporal tracks + LM iterations per
+            # frame (a dead pipeline raises instead — see measure())
+            "mean_tracked": {str(b): round(results[b][2], 1) for b in results},
+            "mean_ba_iters": {str(b): round(results[b][3], 1) for b in results},
+        }), flush=True)
+
     # B=64 once exceeded the remote-compile helper's limits (full-canvas
     # pyramid einsums); retried each round since the per-level pyramid +
-    # fused-select slimming — each size is attempted independently so one
-    # OOM/fault cannot void the run.
-    for b in sizes:
+    # fused-select slimming + bf16 sampler canvas — each size is attempted
+    # independently so one OOM/fault cannot void the run. A measurement is
+    # only attempted if enough budget remains for compile (~35-130 s) +
+    # run; the headline sizes come first.
+    ladder = [b for b in sizes if b != 1] + [1]
+    for b in ladder:
+        if time_left() < 240 and results:
+            log(f"[bench] skipping B={b}: {time_left():.0f}s left")
+            continue
         try:
-            results[b] = measure(b, n_iter=5)
+            results[b] = measure(b, n_iter=8 if b == 1 else 5)
         except Exception as e:  # OOM / tunnel fault on this size only
             log(f"B={b} failed: {type(e).__name__}: {str(e)[:1500]}")
-    # single-stream-per-chip is itself a deployable configuration; the
-    # headline is the best measured frames/s/chip over all of them
-    results[1] = (fps_single, dt1, trk1, bai1)
-    best_b = max(results, key=lambda b: results[b][0])
-    fps_best, dt_best = results[best_b][:2]
-    # the scan-over-frames single-sequence replay is itself a deployable
-    # configuration (it is how dataset replay runs); it competes for the
-    # headline like any batch size
-    if scan_res and scan_res[0] > fps_best:
-        best_b, (fps_best, dt_best) = "scan-1", (scan_res[0], scan_res[1])
-    sizes = sorted(results)
-    if len(sizes) >= 2:
-        (b_lo, b_hi) = sizes[0], sizes[-1]
-        marginal_ms = (
-            (results[b_hi][1] - results[b_lo][1]) * 1e3 / (b_hi - b_lo)
-        )
-    else:
-        marginal_ms = results[best_b][1] * 1e3 / best_b
-
-    log(
-        f"single-stream: {fps_single:.1f} FPS; best batched(B={best_b}): "
-        f"{fps_best:.1f} FPS; marginal {marginal_ms:.2f} ms/frame"
-    )
-    print(json.dumps({
-        "metric": "vio_frames_per_sec_per_chip_euroc_752x480",
-        "value": round(fps_best, 2),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(fps_best / REFERENCE_FRONTEND_FPS, 3),
-        "best_batch": best_b,
-        "single_stream_fps": round(fps_single, 2),
-        "single_stream_ms": round(dt1 * 1e3, 2),
-        # scan-over-frames single-sequence device throughput (one dispatch
-        # for the whole frame window; no per-frame host round trip)
-        "scan_stream_fps": round(scan_res[0], 2) if scan_res else None,
-        "scan_stream_ms": round(scan_res[1] * 1e3, 3) if scan_res else None,
-        "marginal_ms_per_frame": round(marginal_ms, 3),
-        "batched_fps": {str(b): round(results[b][0], 2) for b in results},
-        # liveness evidence: mean temporal tracks + LM iterations per frame
-        # (a dead pipeline raises instead of reporting — see measure())
-        "mean_tracked": {str(b): round(results[b][2], 1) for b in results},
-        "mean_ba_iters": {str(b): round(results[b][3], 1) for b in results},
-    }))
+        emit()
+    if time_left() > 240:
+        try:
+            scan_res = measure_scan()
+        except Exception as e:  # noqa: BLE001
+            log(f"scan mode failed: {type(e).__name__}: {str(e)[:200]}")
+        emit()
+    if not results:
+        raise RuntimeError("no measurement completed")
 
 
 if __name__ == "__main__":

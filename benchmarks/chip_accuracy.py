@@ -129,9 +129,20 @@ def main():
         all_ok and worst_ate < GATE_ATE_PCT and worst_ba < GATE_BA
         and worst_bg < GATE_BG
     )
+    try:
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=str(ROOT),
+            text=True).strip()
+    except Exception:  # noqa: BLE001
+        sha = None
     result = {
         "metric": "chip_e2e_accuracy_noisy_sim_6s",
         "backend": backend,
+        # provenance: the artifact is the qualification record for kernel
+        # dtype defaults — record exactly what was run (ADVICE r3)
+        "sample_dtype": cfg.sample_dtype,
+        "select_dtype": cfg.select_dtype,
+        "git_sha": sha,
         "pass": bool(passed),
         "worst_ate_pct_of_path": worst_ate,
         "worst_ba": worst_ba,

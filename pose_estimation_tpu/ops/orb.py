@@ -206,8 +206,9 @@ class OrbConfig(NamedTuple):
     # rounding of sampled BRIEF values (bf16-rounded downstream anyway)
     # + ~1e-3 rad IC-angle noise. Unlike FAST scores (select_dtype), no
     # thresholded selection consumes these values, so near-tie
-    # amplification does not apply; the chip e2e artifact gates it
-    # (CHIP_ACCURACY_r03.json re-run with this default: passes).
+    # amplification does not apply; the chip e2e artifact gates it — see
+    # the committed CHIP_ACCURACY_r*.json whose recorded sample_dtype is
+    # "bf16" (the artifact now carries dtype + git-SHA provenance).
     sample_dtype: str = "bf16"
 
 

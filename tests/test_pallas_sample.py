@@ -103,14 +103,15 @@ class TestSampleKernel:
         rng = np.random.default_rng(7)
         h, w = 120, 160
         imgs = jnp.asarray(rng.uniform(0, 255, (2, h, w)), jnp.float32)
-        cfg_x = orb.OrbConfig(
-            n_features=64, n_levels=3, sample_backend="xla"
-        )
-        # pin f32: this test isolates the KERNEL vs the XLA path; the bf16
+        # pin f32 on BOTH sides: this test isolates the KERNEL vs the XLA
+        # path (the XLA branch currently ignores sample_dtype, but the pin
+        # keeps the comparison explicit if it ever honors it); the bf16
         # canvas default is covered by test_bf16_canvas_parity
-        cfg_p = cfg_x._replace(
-            sample_backend="pallas_interpret", sample_dtype="f32"
+        cfg_x = orb.OrbConfig(
+            n_features=64, n_levels=3, sample_backend="xla",
+            sample_dtype="f32",
         )
+        cfg_p = cfg_x._replace(sample_backend="pallas_interpret")
         fx = orb.extract_batch(imgs, cfg_x)
         fp = orb.extract_batch(imgs, cfg_p)
         np.testing.assert_array_equal(np.asarray(fx.valid), np.asarray(fp.valid))
