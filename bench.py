@@ -333,8 +333,9 @@ def main():
         carry state is DONATED (the update is a pure chain s -> s'), saving
         an alias-copy of the multi-MB window/pool state every frame."""
         assert batch + n_iter <= n_frames, "raise n_frames (no wraparound)"
+        donate = (0,) if os.environ.get("BENCH_DONATE", "1") == "1" else ()
         if batch == 1:
-            step = jax.jit(run_fn, donate_argnums=0)
+            step = jax.jit(run_fn, donate_argnums=donate)
             args = [
                 (frames[i][0], frames[i][1], gyrs[i], accs[i],
                  jax.random.PRNGKey(i))
@@ -342,7 +343,7 @@ def main():
             ]
         else:
             step = jax.jit(jax.vmap(run_fn, in_axes=(0, 0, 0, 0, 0, 0)),
-                           donate_argnums=0)
+                           donate_argnums=donate)
             # batch of sequences: lane j replays the trajectory with a
             # j-frame phase offset — every lane sees ITS OWN consistent
             # (frames, IMU) stream, no wraparound teleports

@@ -46,6 +46,8 @@ def bench(fn, *args, n=20):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="write results JSON artifact to this path")
     ap.add_argument("--config", default="/root/reference/config/euroc.yml")
     args = ap.parse_args(argv)
 
@@ -126,11 +128,68 @@ def main(argv=None):
     results["frontend_stereo_total_ms"] = total_fe
     results["frontend_fps"] = 1000.0 / total_fe
 
+    # --- cvAlgorithms analogs (`benchmark/cvAlgorithms/cvAlgorithms.cpp`) ---
+    # (1) triangulate() chain (:21-68): ORB on BOTH stereo images -> BF
+    #     match -> distance filter -> triangulatePoints (+cheirality sign).
+    #     Here: one fused stereo extraction + Hamming match + DLT
+    #     triangulation, a single jitted chain.
+    imgs2 = jnp.stack([img, jnp.roll(img, -8, axis=1)])
+
+    def cv_stereo(im2):
+        f = orb.extract_batch(im2, static.orb)
+        fl = jax.tree.map(lambda a: a[0], f)
+        fr = jax.tree.map(lambda a: a[1], f)
+        im, _, _ = matching.match(
+            fl.desc, fr.desc, fl.valid, fr.valid, 2.0, 30.0
+        )
+        pr = jnp.take(fr.xy, jnp.maximum(im, 0), axis=0)
+        pts = triangulate.triangulate(consts.p1, consts.p2, fl.xy, pr)
+        return pts
+
+    results["cvalg_stereo_triangulate_ms"] = bench(jax.jit(cv_stereo), imgs2)
+
+    # (2) computePose() chain (:71-117): ORB on the next frame -> BF match
+    #     vs prev -> distance filter -> solvePnPRansac. Here: Hamming match
+    #     + EPnP RANSAC on the matched 3D-2D set.
+    from pose_estimation_tpu.ops import pnp as pnp_mod
+
+    pts3d = jnp.asarray(
+        rng.uniform(-2, 2, (int(feats.desc.shape[0]), 3))
+        + np.array([0, 0, 6.0]), jnp.float32,
+    )
+
+    def cv_pose(desc_a, desc_b, va, vb, p3, xy_b, key):
+        im, _, _ = matching.match(desc_a, desc_b, va, vb, 2.0, 30.0)
+        pix = jnp.take(xy_b, jnp.maximum(im, 0), axis=0)
+        ok = im >= 0
+        k_mat = jnp.array(
+            [[consts.calib.fx, 0.0, consts.calib.cx],
+             [0.0, consts.calib.fy, consts.calib.cy],
+             [0.0, 0.0, 1.0]], jnp.float32,
+        )
+        return pnp_mod.pnp_ransac(p3, pix, ok, k_mat, key)
+
+    f_pose = jax.jit(cv_pose)
+    results["cvalg_pnp_chain_ms"] = bench(
+        f_pose, feats.desc, feats.desc, feats.valid, feats.valid,
+        pts3d, feats.xy, jax.random.PRNGKey(1),
+    )
+
     if args.json:
         print(json.dumps(results))
     else:
         for k, v in results.items():
             print(f"{k:32s} {v:10.3f}")
+    if args.out:
+        # per-round stage-latency artifact (VERDICT r3 #9): regressions in
+        # individual stages become visible in the committed record
+        payload = {
+            "metric": "microbench_stage_latencies_ms",
+            "device": str(jax.devices()[0]),
+            "results": {k: round(v, 4) for k, v in results.items()},
+        }
+        Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
+        print(f"wrote {args.out}", file=sys.stderr)
     return 0
 
 

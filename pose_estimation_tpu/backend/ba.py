@@ -32,6 +32,8 @@ from pose_estimation_tpu.backend import lm as lm_mod
 from pose_estimation_tpu.backend import residuals as res
 from pose_estimation_tpu.models.window import WindowState
 
+from pose_estimation_tpu.utils.precision import full_precision
+
 
 class Calib(NamedTuple):
     """Rectified-camera + extrinsic constants used by the backend."""
@@ -219,6 +221,7 @@ def _prep(
     }
 
 
+@full_precision
 def build_problem(
     win: WindowState,
     obs: LandmarkObs,
@@ -321,6 +324,7 @@ def _marg_indices(wsize: int):
     return idx_m, idx_r, new_pos
 
 
+@full_precision
 def marginalize_prior(
     win: WindowState, h_final: jax.Array, forget: float = 1.0
 ):
@@ -374,6 +378,7 @@ def marginalize_prior(
     )
 
 
+@full_precision
 def build_normal_problem(
     win: WindowState,
     obs: LandmarkObs,
@@ -515,6 +520,7 @@ def build_normal_problem(
     return normal_fn, jnp.zeros(n, dtype), pr["aux"]
 
 
+@full_precision
 def motion_only_ba(
     win: WindowState,
     obs: LandmarkObs,

@@ -32,6 +32,8 @@ from pose_estimation_tpu.backend.ba import Calib, LandmarkObs
 from pose_estimation_tpu.models.window import WindowState
 from pose_estimation_tpu.utils import lie
 
+from pose_estimation_tpu.utils.precision import full_precision
+
 
 def _reproj_residual_and_jacs(win, obs, obs_mask, calib, dpose, dlm):
     """Whitened reprojection residuals + (constant) pose/landmark Jacobians
@@ -56,6 +58,7 @@ def _reproj_residual_and_jacs(win, obs, obs_mask, calib, dpose, dlm):
     return jnp.where(obs_mask[..., None], err, 0.0)
 
 
+@full_precision
 def full_ba(
     win: WindowState,
     obs: LandmarkObs,

@@ -22,11 +22,14 @@ import jax.numpy as jnp
 from pose_estimation_tpu.backend import lm as lm_mod
 from pose_estimation_tpu.backend import residuals as res
 
+from pose_estimation_tpu.utils.precision import full_precision
+
 
 def _stack_map(ics, k):
     return jax.tree.map(lambda a: a[k], ics)
 
 
+@full_precision
 def solve_gyr_bias(R: jax.Array, ics, max_iterations: int = 50):
     """delta_bg [3] from W-1 rotation residuals (`optimizer.cpp:183-206`).
 
@@ -60,6 +63,7 @@ def solve_gyr_bias(R: jax.Array, ics, max_iterations: int = 50):
     return x, info
 
 
+@full_precision
 def solve_gravity_velocity(R, p, ics, max_iterations: int = 50):
     """(gravity_estimate [3], delta_v [W,3]) — `optimizer.cpp:208-240`.
 
@@ -102,6 +106,7 @@ def solve_gravity_velocity(R, p, ics, max_iterations: int = 50):
     return x[0:3], x[3:].reshape(w, 3), info
 
 
+@full_precision
 def solve_gravity_velocity_bias(R, p, ics, max_iterations: int = 50):
     """JOINT (gravity [3], acc-bias increment [3], velocities [K,3]) solve.
 
@@ -155,6 +160,7 @@ def solve_gravity_velocity_bias(R, p, ics, max_iterations: int = 50):
     return x[0:3], x[3:6], x[6:].reshape(w, 3), info
 
 
+@full_precision
 def solve_gravity_tilt_bias(
     R, p, ics, g0, max_iterations: int = 50,
     sigma_tilt: float = 0.5, sigma_dba: float = 0.5,
@@ -240,6 +246,7 @@ def solve_gravity_tilt_bias(
     return g_est, x[2:5], x[5:].reshape(w, 3), info
 
 
+@full_precision
 def solve_alignment(init_g: jax.Array, unit_g: jax.Array, axes, max_iterations: int = 50):
     """2-DoF rotation aligning the estimated gravity direction with the world
     gravity axis (`optimizer.cpp:242-304`). Returns delta_r [3] (full tangent,
@@ -258,6 +265,7 @@ def solve_alignment(init_g: jax.Array, unit_g: jax.Array, axes, max_iterations: 
     return delta_r, info
 
 
+@full_precision
 def refine_gravity(
     R, p, ics, unit_g, axes, gravity,
     max_iterations: int = 50, rounds: int = 2,
@@ -330,6 +338,7 @@ def pre_repropagate(ic, dbg, dba):
     return repropagate(ic, dbg, dba)
 
 
+@full_precision
 def solve_acc_bias(R, v, p, ics, gravity, max_iterations: int = 50):
     """delta_ba [3] — `optimizer.cpp:306-329` (with per-pair constraints)."""
     w = R.shape[0]

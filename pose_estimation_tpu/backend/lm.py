@@ -24,6 +24,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from pose_estimation_tpu.utils.precision import full_precision
+
 
 class LMOptions(NamedTuple):
     max_iterations: int = 20
@@ -51,6 +53,7 @@ def _weighted_cost(r, w):
     return 0.5 * jnp.sum(w * r * r)
 
 
+@full_precision
 def lm_solve(
     residual_fn: Callable[[jax.Array], jax.Array],
     jac: jax.Array,                                  # [m, n] constant
@@ -173,6 +176,7 @@ class NormalLMState(NamedTuple):
     accepted: jax.Array
 
 
+@full_precision
 def lm_solve_normal(
     normal_fn: Callable[[jax.Array], tuple[jax.Array, jax.Array, jax.Array]],
     x0: jax.Array,

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 
 from pose_estimation_tpu.utils import lie
 
+from pose_estimation_tpu.utils.precision import full_precision
+
 
 class ImuParams(NamedTuple):
     """Discrete-time noise parameters (precomputed on host from config).
@@ -101,6 +103,7 @@ def init_state(dtype=jnp.float32) -> PreintState:
     )
 
 
+@full_precision
 def integrate_chunk_sequential(
     state: PreintState,
     gyr: jax.Array,   # [M, 3]
@@ -172,6 +175,7 @@ def integrate_chunk_sequential(
     return state
 
 
+@full_precision
 def integrate_chunk(
     state: PreintState,
     gyr: jax.Array,   # [M, 3]
@@ -308,6 +312,7 @@ def integrate_chunk(
     )
 
 
+@full_precision
 def finalize(state: PreintState, bg: jax.Array, ba: jax.Array, params: ImuParams) -> ImuConstraint:
     """Build the 15x15 constraint; reference `processImu` tail (:238-240)."""
     dtype = state.dR.dtype
@@ -332,6 +337,7 @@ def _spd_inverse(m: jax.Array) -> jax.Array:
     return jax.scipy.linalg.cho_solve((chol, True), eye)
 
 
+@full_precision
 def repropagate(ic: ImuConstraint, delta_bg: jax.Array, delta_ba: jax.Array) -> ImuConstraint:
     """First-order bias repropagation of a stored constraint.
 
@@ -346,6 +352,7 @@ def repropagate(ic: ImuConstraint, delta_bg: jax.Array, delta_ba: jax.Array) -> 
     )
 
 
+@full_precision
 def predict(
     R_i: jax.Array, v_i: jax.Array, p_i: jax.Array,
     ic: ImuConstraint, gravity: jax.Array,

@@ -18,6 +18,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from pose_estimation_tpu.utils.precision import full_precision
+
 DESC_BITS = 256
 _BIG = jnp.float32(1e9)
 
@@ -27,6 +29,7 @@ def pack_descriptors(bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(bits, jnp.int8(1), jnp.int8(-1))
 
 
+@full_precision
 def hamming_table(query: jnp.ndarray, train: jnp.ndarray) -> jnp.ndarray:
     """Pairwise Hamming distances. query [N,256] int8, train [K,256] int8 ->
     [N, K] float32. One MXU matmul."""
@@ -81,6 +84,7 @@ class MatchResult(NamedTuple):
     valid: jnp.ndarray   # [N] query & its match valid + passed gates
 
 
+@full_precision
 def match(
     query: jnp.ndarray,        # [N, 256] int8
     train: jnp.ndarray,        # [K, 256] int8
@@ -107,6 +111,7 @@ def match(
     return MatchResult(index=best_idx, dist=best_d, valid=keep)
 
 
+@full_precision
 def stereo_match(
     desc_l: jnp.ndarray, desc_r: jnp.ndarray,
     mask_l: jnp.ndarray, mask_r: jnp.ndarray,
@@ -122,6 +127,7 @@ def stereo_match(
     return MatchResult(index=m.index, dist=m.dist, valid=keep)
 
 
+@full_precision
 def cross_check(
     fwd: MatchResult, n_train: int
 ) -> jnp.ndarray:

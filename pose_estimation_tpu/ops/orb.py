@@ -50,6 +50,7 @@ from pose_estimation_tpu.ops.brief_pattern import (  # noqa: E402
     POOL_PAIRS,
     POOL_POINTS,
 )
+from pose_estimation_tpu.utils.precision import full_precision  # noqa: E402
 
 # all paths share the same 256 tests; PATTERN is their endpoint form
 PATTERN = POOL_POINTS[POOL_PAIRS].astype(np.int32)
@@ -575,6 +576,7 @@ def pyramid_stack(imgs: jnp.ndarray, cfg: OrbConfig) -> jnp.ndarray:
     )
 
 
+@full_precision
 def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> OrbFeatures:
     """Full ORB front-end for a batch of grayscale images [B, H, W].
 

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from pose_estimation_tpu.utils.precision import full_precision
+
 
 def _poly_mul(p, q):
     """Multiply two polynomials given as coefficient LISTS (highest degree
@@ -110,6 +112,7 @@ def _quartic_roots(coeffs):
     return x
 
 
+@full_precision
 def p3p_solve(obj: jnp.ndarray, img_n: jnp.ndarray):
     """Batched Grunert P3P.
 

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 
 from pose_estimation_tpu.utils import lie
 
+from pose_estimation_tpu.utils.precision import full_precision
+
 
 class PnPResult(NamedTuple):
     rvec: jnp.ndarray      # [3]
@@ -236,6 +238,7 @@ def _reproj_err2(r, t, obj, img_n):
     return jnp.where(behind, 1e12, err)
 
 
+@full_precision
 def gauss_newton_pose(
     obj: jnp.ndarray, img_n: jnp.ndarray, weights: jnp.ndarray,
     rvec0: jnp.ndarray, tvec0: jnp.ndarray, iters: int = 10,
@@ -278,6 +281,7 @@ def gauss_newton_pose(
 SOLVER_SAMPLE_SIZE = {"dlt": 6, "epnp": 6, "epnp_min": 5, "p3p": 3}
 
 
+@full_precision
 def pnp_ransac(
     obj: jnp.ndarray,     # [N, 3] object points
     px: jnp.ndarray,      # [N, 2] pixels

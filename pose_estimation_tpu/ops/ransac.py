@@ -19,6 +19,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from pose_estimation_tpu.utils.precision import full_precision
+
 
 class RansacResult(NamedTuple):
     inliers: jnp.ndarray   # [N] bool
@@ -110,6 +112,7 @@ def _sampson_dist(f, pts1, pts2):
     return num / jnp.maximum(den, 1e-12)
 
 
+@full_precision
 def fundamental_ransac(
     pts1: jnp.ndarray,    # [N, 2]
     pts2: jnp.ndarray,    # [N, 2]

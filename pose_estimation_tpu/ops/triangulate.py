@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from pose_estimation_tpu.utils.precision import full_precision
+
 
 def _adjugate4(m: jnp.ndarray) -> jnp.ndarray:
     """adj(M) for [..., 4, 4]: transpose of the cofactor matrix, written out
@@ -43,6 +45,7 @@ def _adjugate4(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(cof, -1, -2)
 
 
+@full_precision
 def triangulate(
     p1: jnp.ndarray,   # [3,4] projection matrix, camera 1
     p2: jnp.ndarray,   # [3,4] projection matrix, camera 2
@@ -89,6 +92,7 @@ def triangulate(
     return x[:, :3] / safe_w[:, None]
 
 
+@full_precision
 def triangulate_rectified(
     fx: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray, fy: jnp.ndarray,
     baseline: jnp.ndarray,

@@ -82,6 +82,14 @@ class VisualInertialSLAM:
         self.max_refine_dba = 3.0         # m/s^2
         self._kf_hist: list[tuple] = []
         self._kfs_since_refine = 0
+        # whether the most recently processed frame was committed as a
+        # keyframe (it then still sits at window slot -1; after the next
+        # frame arrives the window shifts it to -2) — drives the
+        # history-refresh slot mapping below
+        self._last_was_kf = False
+        # refresh in-window history snapshots from the latest optimized
+        # window states (A/B knob for the bias sweeps)
+        self.refresh_kf_hist = True
         # initializer sanity gates (beyond the reference, which accepts any
         # SfM/init output): minimum PnP inliers per accepted SfM frame and
         # physical-plausibility checks on the solved gravity/velocities
@@ -398,8 +406,12 @@ class VisualInertialSLAM:
                     if bool(is_kf) and self.gravity_refine_window:
                         self._kf_hist.append(snap)
                         self._kfs_since_refine += 1
+                    self._last_was_kf = bool(is_kf)
                 if len(self._kf_hist) > self.gravity_refine_window:
                     del self._kf_hist[: -self.gravity_refine_window]
+                if (self.gravity_refine_window and self._kf_hist
+                        and self.refresh_kf_hist):
+                    self._refresh_kf_hist()
                 if lost:
                     if self.verbose:
                         print("[slam] tracking lost -> re-bootstrapping")
@@ -572,6 +584,30 @@ class VisualInertialSLAM:
         self.vio = self.vio._replace(
             bg=keep_bg, ba=keep_ba, preint=pre.init_state(self._dtype)
         )
+
+    def _refresh_kf_hist(self):
+        """Re-snapshot the keyframe-history entries still inside the sliding
+        window from the CURRENT optimized window states.
+
+        Commit-time snapshots go stale as motion BA keeps refining the
+        frames that remain in the window (measured: stale snapshots were
+        what made long gravity-refinement chains WORSE — NOTES round 3).
+        Refreshing at every health-check means each entry leaves the window
+        carrying its final optimized pose/velocity instead of its
+        commit-time one. The preintegration constraint (entry [3]) is a
+        measurement, not state, and stays as stored."""
+        win = self.vio.win
+        length = win.R.shape[0]
+        # newest history entry sits at slot -1 until the next frame shifts
+        # the window (then -2); see _last_was_kf
+        off = 1 if self._last_was_kf else 2
+        n_act = int(win.n_act)
+        for m in range(1, len(self._kf_hist) + 1):
+            slot = length - off - (m - 1)
+            if slot < max(length - 1 - n_act, 0):
+                break  # left the active window — entry is final
+            r_, p_, v_, ic_ = self._kf_hist[-m]
+            self._kf_hist[-m] = (win.R[slot], win.p[slot], win.v[slot], ic_)
 
     def _refine_gravity(self):
         """Online gravity refinement over the accumulated keyframe chain.
