@@ -362,8 +362,13 @@ def main():
         s2, _, _ = step(init_state(batch), *args[0])
         float(jax.tree.leaves(s2)[0].ravel()[0])
         log(f"B={batch}: compile+first {time.time() - t0:.1f}s")
+        # fresh buffers (warmup's were donated) — built OUTSIDE the timed
+        # region: init_state is eager host code (dozens of small tunnel
+        # dispatches, ~400 ms) and timing it once cost B=1 a phantom
+        # ~50 ms/frame (the round-4 "58 ms single-stream" regression)
+        s = init_state(batch)
+        jax.block_until_ready(s)
         t0 = time.time()
-        s = init_state(batch)  # fresh buffers (warmup's were donated)
         stats = []
         for i in range(n_iter):
             s, trk, bai = step(s, *args[i])
