@@ -202,6 +202,7 @@ def select_keypoints_fused(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     plane_topk: str = "sort",
+    budgets: list[int] | None = None,
 ) -> Keypoints:
     """`select_keypoints_batched` with the FAST score + NMS + gating +
     per-cell top-k + SUBPIXEL refinement all fused into one Pallas kernel
@@ -214,10 +215,68 @@ def select_keypoints_fused(
     unfused path (same gates, same raster tie-breaks, same quadratic
     subpixel fit evaluated in-kernel); with compute_dtype=bfloat16 that
     equality is exact on integer-valued planes and holds up to
-    <= 0.5-intensity score rounding on fractional ones."""
+    <= 0.5-intensity score rounding on fractional ones.
+
+    budgets: optional per-LEVEL budget list for a LEVEL-MAJOR plane stack
+    (len(bounds) == len(budgets) * b images). When given, the plane top-k
+    runs PER LEVEL over only that level's CONTENT cell-rows and its own
+    budget k. MEASURED SLOWER on-chip than the single flat sort (8 small
+    sort networks at 45.5 ms/call standalone vs 39.8 for one [512, 5760]
+    batched sort — benchmarks/seltail_exp.py; sort cost is pass-count-,
+    not row-, dominated), so `extract_batch` does NOT use it; kept as an
+    exact-semantics alternative for narrow-plane configurations. Slots
+    past a level's budget come back invalid (score _NEG), which is exactly
+    what `extract_batch` discards; candidate sets and ordering within each
+    level's budget are unchanged."""
     from pose_estimation_tpu.ops.pallas_fast import fast_select_pallas
 
     neg = jnp.float32(-1e9)
+    if budgets is not None and plane_topk == "sort":
+        import numpy as np
+
+        parts = fast_select_pallas(
+            score_stack_src, bounds, th_hi, th_lo, border, k_per_cell,
+            interpret, compute_dtype=compute_dtype, flat=False,
+        )
+        nl = len(budgets)
+        n_planes = len(bounds)
+        b = n_planes // nl
+        band = 32
+        cell = 16
+        n_bands_tot = -(-score_stack_src.shape[1] // band)
+        k_max = min(k_max, max(budgets))
+        sx, sy, ss = [], [], []
+        for lvl in range(nl):
+            p0 = lvl * b
+            # the level's planes live inside exactly one width-class run
+            # (runs merge only whole levels — widths are per-level uniform)
+            for start, v4, _c4, x4, y4 in parts:
+                if start <= p0 < start + v4.shape[0]:
+                    break
+            else:  # pragma: no cover - structural invariant
+                raise AssertionError("level not covered by any run")
+            r0 = p0 - start
+            lh = bounds[p0][0]
+            nb_l = min(n_bands_tot, max(lh - border, 0) // band + 1)
+            ncr_l = min(v4.shape[1], nb_l * (band // cell))
+            fv = v4[r0 : r0 + b, :ncr_l].reshape(b, -1)
+            fx = x4[r0 : r0 + b, :ncr_l].reshape(b, -1)
+            fy = y4[r0 : r0 + b, :ncr_l].reshape(b, -1)
+            k_l = min(budgets[lvl], fv.shape[1], k_max)
+            g_s, g_i = _topk(fv, k_l)
+            gx = jnp.take_along_axis(fx, g_i, axis=1)
+            gy = jnp.take_along_axis(fy, g_i, axis=1)
+            pad = ((0, 0), (0, k_max - k_l))
+            ss.append(jnp.pad(g_s, pad, constant_values=neg))
+            sx.append(jnp.pad(gx, pad))
+            sy.append(jnp.pad(gy, pad))
+        g_s = jnp.concatenate(ss, axis=0)
+        xy = jnp.stack(
+            [jnp.concatenate(sx, axis=0), jnp.concatenate(sy, axis=0)],
+            axis=-1,
+        )
+        return Keypoints(xy=xy, score=g_s, valid=g_s > neg / 2)
+
     flat_s, _flat_code, flat_x, flat_y = fast_select_pallas(
         score_stack_src, bounds, th_hi, th_lo, border, k_per_cell, interpret,
         compute_dtype=compute_dtype,

@@ -334,6 +334,7 @@ def fast_select_pallas(
     interpret: bool = False,
     compute_dtype=jnp.float32,
     band: int = 32,
+    flat: bool = True,
 ):
     """Fused FAST score + NMS + per-cell top-k for a plane stack [N, H, W].
 
@@ -342,6 +343,11 @@ def fast_select_pallas(
     kpc; invalid slots have vals == -1e9 and xs == ys == 0. Requires
     W % 16 == 0 (the lane-segment allreduce); callers fall back to the
     unfused path otherwise.
+
+    flat=False instead returns the per-width-class parts unflattened:
+    a list of (start_plane, vals, codes, xs, ys) with arrays shaped
+    [n_run_planes, n_cr, ncx_run, kpc] — the cell-row axis exposed so the
+    caller can slice a level's CONTENT rows before its plane top-k.
 
     compute_dtype=jnp.bfloat16 halves the score chain's vector-register
     footprint; bit-exact vs float32 on integer-valued planes, <= 0.5
@@ -374,7 +380,7 @@ def fast_select_pallas(
         else:
             runs.append((p, p + 1, wc))
 
-    val_parts, code_parts, x_parts, y_parts = [], [], [], []
+    val_parts = []
     max_cand = max(n_cr * (wc // cell) * k_per_cell for _, _, wc in runs)
     for start, end, w_c in runs:
         n_r = end - start
@@ -431,18 +437,16 @@ def fast_select_pallas(
         )(dims, jnp.asarray(prog_plane), jnp.asarray(prog_band), img_p)
 
         # lane 0 of each 16-lane segment carries its cell's values
-        def seg0(a):
-            a = a[..., ::cell].transpose(0, 1, 3, 2)  # [nr, ncr, ncx, kpc]
-            return a.reshape(n_r, n_cr * ncx_c * k_per_cell)
+        def seg4(a):
+            return a[..., ::cell].transpose(0, 1, 3, 2)  # [nr,ncr,ncx,kpc]
 
-        vals_r, codes_r, xs_r, ys_r = map(seg0, (vals_r, codes_r, xs_r, ys_r))
-        n_cand = n_cr * ncx_c * k_per_cell
+        vals_r, codes_r, xs_r, ys_r = map(seg4, (vals_r, codes_r, xs_r, ys_r))
         # slots of never-launched bands are uninitialized memory — mask
         # them with the same static band list before anything consumes them
-        written = np.zeros((n_r, n_cr), bool)
+        written = np.zeros((n_r, n_cr, 1, 1), bool)
         for p, nb in enumerate(nb_per):
             written[p, : nb * n_sub] = True
-        wmask = jnp.asarray(np.repeat(written, ncx_c * k_per_cell, axis=1))
+        wmask = jnp.asarray(written)
         vals_r = jnp.where(wmask, vals_r, _NEG)
         xs_r = jnp.where(wmask, xs_r, 0.0)
         ys_r = jnp.where(wmask, ys_r, 0.0)
@@ -453,21 +457,21 @@ def fast_select_pallas(
         codes_r = jnp.clip(
             jnp.where(vals_r > _NEG / 2, codes_r, 0.0), 0.0, float(h * w - 1)
         ).astype(jnp.int32)
+        val_parts.append((start, vals_r, codes_r, xs_r, ys_r))
 
-        def padc(a, cv=0.0):
-            return jnp.pad(
-                a, ((0, 0), (0, max_cand - n_cand)), constant_values=cv
-            )
+    if not flat:
+        return val_parts
 
-        val_parts.append(padc(vals_r, _NEG))
-        code_parts.append(padc(codes_r))
-        x_parts.append(padc(xs_r))
-        y_parts.append(padc(ys_r))
-    return (
-        jnp.concatenate(val_parts, axis=0),
-        jnp.concatenate(code_parts, axis=0),
-        jnp.concatenate(x_parts, axis=0),
-        jnp.concatenate(y_parts, axis=0),
+    def flatpad(a, cv):
+        n_r = a.shape[0]
+        a = a.reshape(n_r, -1)
+        return jnp.pad(
+            a, ((0, 0), (0, max_cand - a.shape[1])), constant_values=cv
+        )
+
+    return tuple(
+        jnp.concatenate([flatpad(p[i], cv) for p in val_parts], axis=0)
+        for i, cv in ((1, _NEG), (2, 0), (3, 0.0), (4, 0.0))
     )
 
 

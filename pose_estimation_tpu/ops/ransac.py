@@ -61,6 +61,60 @@ def _adjugate3(m):
     return jnp.swapaxes(cofm, -1, -2)
 
 
+def _null8(a):
+    """Exact null vector of each [8, 9] constraint matrix via batched
+    Gauss-Jordan elimination with FULL pivoting (8 unrolled steps).
+
+    With exactly 8 sampled correspondences the 8-point system A f = 0 has a
+    generic one-dimensional EXACT nullspace, so the minimal-residual
+    eigenvector of A^T A *is* the null vector — no spectral machinery
+    needed. `jnp.linalg.eigh` on the batched 9x9 normal matrices was
+    measured at 982 us/frame on-chip (80% of internal_match, the single
+    largest item in the whole VIO step — benchmarks/match_exp.py); this
+    elimination is a few dozen elementwise passes over [B, 8, 9].
+
+    Full pivoting (argmax |entry| over the remaining submatrix) keeps f32
+    growth in check; a degenerate sample (near-collinear points) yields a
+    garbage hypothesis that simply loses the inlier vote, exactly as the
+    eigh-based hypothesis from the same degenerate sample would.
+
+    After Gauss-Jordan, each pivot row r reads x[c_r] + m[r, free] *
+    x[free] = 0 (its pivot column normalized to 1, all other pivot columns
+    eliminated), so x[free] = 1, x[c_r] = -m[r, free].
+    """
+    b = a.shape[0]
+    m = a
+    dtype = a.dtype
+    row_avail = jnp.ones((b, 8), dtype)
+    col_avail = jnp.ones((b, 9), dtype)
+    pivots = []
+    for _ in range(8):
+        absm = jnp.abs(m) * row_avail[:, :, None] * col_avail[:, None, :]
+        pidx = jnp.argmax(absm.reshape(b, 72), axis=1)
+        prow_oh = jax.nn.one_hot(pidx // 9, 8, dtype=dtype)      # [B, 8]
+        pcol_oh = jax.nn.one_hot(pidx % 9, 9, dtype=dtype)       # [B, 9]
+        piv = jnp.einsum("br,brc,bc->b", prow_oh, m, pcol_oh)
+        safe = jnp.where(jnp.abs(piv) < 1e-30, 1.0, piv)
+        prow = jnp.einsum("br,brc->bc", prow_oh, m) / safe[:, None]  # [B,9]
+        colv = jnp.einsum("brc,bc->br", m, pcol_oh)              # [B, 8]
+        factor = colv * (1.0 - prow_oh)       # eliminate all non-pivot rows
+        m = m - factor[:, :, None] * prow[:, None, :]
+        # pivot row <- its normalized form (Gauss-Jordan)
+        m = (m * (1.0 - prow_oh)[:, :, None]
+             + prow_oh[:, :, None] * prow[:, None, :])
+        row_avail = row_avail * (1.0 - prow_oh)
+        col_avail = col_avail * (1.0 - pcol_oh)
+        pivots.append((prow_oh, pcol_oh))
+    free_oh = col_avail                                          # [B, 9]
+    mf = jnp.einsum("brc,bc->br", m, free_oh)                    # [B, 8]
+    x = free_oh
+    for prow_oh, pcol_oh in pivots:
+        coeff = jnp.einsum("br,br->b", prow_oh, mf)
+        x = x - coeff[:, None] * pcol_oh
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(norm, 1e-30)
+
+
 def _eight_point(x1, x2):
     """Batched 8-point algorithm. x1, x2: [B, 8, 2] -> F [B, 3, 3].
 
@@ -77,16 +131,9 @@ def _eight_point(x1, x2):
     a = jnp.stack(
         [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=-1
     )  # [B, 8, 9]
-    # smallest eigenvector of the 9x9 normal matrix. The iterative eigh
-    # stays: the 8-point spectrum is ill-separated (lambda_1 down to
-    # ~1e-9 * lambda_max even after Hartley normalization), which defeats
-    # every f32 one-shot scheme tried (adjugate, ridged inverse iteration,
-    # row-Gram null projection with refinement — all measured >1e-2 F error
-    # on a third of random samples). Only the 3x3 SVD below was safely
-    # replaceable.
-    ata = jnp.einsum("bij,bik->bjk", a, a)
-    _, vecs = jnp.linalg.eigh(ata)
-    f = vecs[..., 0].reshape(-1, 3, 3)
+    # exact nullspace by elimination (see _null8) — replaces the batched
+    # 9x9 eigh, which dominated the whole front-end's on-chip cost
+    f = _null8(a).reshape(-1, 3, 3)
     # rank-2 projection: F - u3 (u3^T F)
     fft = jnp.einsum("bij,bkj->bik", f, f)
     adj = _adjugate3(fft)

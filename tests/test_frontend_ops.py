@@ -386,6 +386,32 @@ class TestTriangulate:
 
 
 class TestRansac:
+    def test_null8_matches_eigh(self):
+        """The Gauss-Jordan null vector (_null8) equals the smallest
+        eigenvector of A^T A on generic 8-point samples: the 8x9 system has
+        an exact 1-dim nullspace, so both must find the same direction."""
+        rng = np.random.default_rng(11)
+        # Hartley-normalized-scale correspondences, like production
+        x1 = rng.normal(0, 1.0, (512, 8, 2))
+        x2 = x1 + rng.normal(0, 0.2, (512, 8, 2))
+        u1, v1 = x1[..., 0], x1[..., 1]
+        u2, v2 = x2[..., 0], x2[..., 1]
+        a = np.stack(
+            [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1,
+             np.ones_like(u1)], axis=-1,
+        ).astype(np.float64)
+        x = np.asarray(ransac._null8(jnp.asarray(a)))
+        # exact-nullspace residual
+        resid = np.linalg.norm(np.einsum("bij,bj->bi", a, x), axis=1)
+        scale = np.linalg.norm(a, axis=(1, 2))
+        assert np.max(resid / scale) < 1e-9
+        # direction matches the eigh null vector (up to sign)
+        ata = np.einsum("bij,bik->bjk", a, a)
+        _, vecs = np.linalg.eigh(ata)
+        v0 = vecs[..., 0]
+        dots = np.abs(np.sum(v0 * x, axis=1))
+        assert np.min(dots) > 1 - 1e-8
+
     def test_rejects_outliers(self):
         rng = np.random.default_rng(5)
         n_in, n_out = 150, 50
