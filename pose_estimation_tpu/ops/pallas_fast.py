@@ -284,6 +284,7 @@ def _select_kernel(
     big = jnp.float32(3e9)
 
     # ---- per cell-row: eligibility gate + top-kpc, first-index tie-break
+    vrows, prows, xrows, yrows = [], [], [], []
     for cr in range(band // cell):
         sh = s[cr * cell : (cr + 1) * cell]
         codeh = code[cr * cell : (cr + 1) * cell]
@@ -317,11 +318,40 @@ def _select_kernel(
                 jnp.sum(jnp.where(picked, yq_h, zero), axis=0,
                         keepdims=True), jnp.add, cell,
             )
-            val_ref[0, cr, k, :] = cmax[0]
-            pos_ref[0, cr, k, :] = cmin[0]
-            x_ref[0, cr, k, :] = xk[0]
-            y_ref[0, cr, k, :] = yk[0]
+            vrows.append(cmax)
+            prows.append(cmin)
+            xrows.append(xk)
+            yrows.append(yk)
             cand = jnp.where(picked, neg, cand)
+
+    # ---- lane compaction: each 16-lane segment carries its cell's value
+    # broadcast; write only lane 0 of each segment. The outputs used to be
+    # full-width [n_sub, kpc, W] (16x the useful lanes) — every downstream
+    # tail op (written-band masking, int cast, flatten, the plane-top-k
+    # sort input build) then re-read the 16x-fat tensors from HBM. A 0/1
+    # selection dot (HIGHEST precision: bf16x3 splitting reproduces each
+    # f32 input exactly, and each output column has exactly one nonzero)
+    # compacts [R, W] -> [R, W/16] in-kernel. Strided slicing can't be
+    # used here: a [W] -> [ncx, 16] reshape needs a rank-3/relayout Mosaic
+    # path this chip rejects.
+    ncx = val_ref.shape[3]
+    width_c = cell * ncx
+    lsel = (
+        jax.lax.broadcasted_iota(jnp.int32, (width_c, ncx), 0)
+        == cell * jax.lax.broadcasted_iota(jnp.int32, (width_c, ncx), 1)
+    ).astype(jnp.float32)
+    for rows, ref in (
+        (vrows, val_ref), (prows, pos_ref), (xrows, x_ref), (yrows, y_ref)
+    ):
+        packed = jax.lax.dot_general(
+            jnp.concatenate(rows, axis=0), lsel,           # [R, W]x[W, ncx]
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                   # [R, ncx]
+        for cr in range(band // cell):
+            for k in range(kpc):
+                ref[0, cr, k, :] = packed[cr * kpc + k, :]
 
 
 def fast_select_pallas(
@@ -415,7 +445,7 @@ def fast_select_pallas(
             ],
             out_specs=tuple(
                 pl.BlockSpec(
-                    (1, n_sub, k_per_cell, w_c),
+                    (1, n_sub, k_per_cell, ncx_c),
                     lambda g, d, pp, pb: (pp[g], pb[g], 0, 0),
                 )
                 for _ in range(4)
@@ -430,15 +460,17 @@ def fast_select_pallas(
             ),
             grid_spec=grid_spec,
             out_shape=tuple(
-                jax.ShapeDtypeStruct((n_r, n_cr, k_per_cell, w_c), jnp.float32)
+                jax.ShapeDtypeStruct(
+                    (n_r, n_cr, k_per_cell, ncx_c), jnp.float32
+                )
                 for _ in range(4)
             ),
             interpret=interpret,
         )(dims, jnp.asarray(prog_plane), jnp.asarray(prog_band), img_p)
 
-        # lane 0 of each 16-lane segment carries its cell's values
+        # outputs are lane-compacted in-kernel: one value per cell
         def seg4(a):
-            return a[..., ::cell].transpose(0, 1, 3, 2)  # [nr,ncr,ncx,kpc]
+            return a.transpose(0, 1, 3, 2)               # [nr,ncr,ncx,kpc]
 
         vals_r, codes_r, xs_r, ys_r = map(seg4, (vals_r, codes_r, xs_r, ys_r))
         # slots of never-launched bands are uninitialized memory — mask

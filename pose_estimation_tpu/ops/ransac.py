@@ -112,7 +112,32 @@ def _null8(a):
         coeff = jnp.einsum("br,br->b", prow_oh, mf)
         x = x - coeff[:, None] * pcol_oh
     norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    return x / jnp.maximum(norm, 1e-30)
+    x = x / jnp.maximum(norm, 1e-30)
+
+    # One ridged inverse-iteration step to clean the f32 elimination error:
+    # the 8-point spectrum is ill-separated (second-smallest singular value
+    # down to ~3e-5 of the largest), so the GE null vector carries an
+    # eps/sigma_8-sized error component that measurably degrades the
+    # hypotheses (LM iters 13.0 -> 19.5 on the bench replay when used
+    # bare — benchmarks/ransac_ab.py; a 3-seed sweep later showed that
+    # particular gap to be chaotic pool-composition variance, null8
+    # {19.2,13.6,14.6} vs eigh {13.0,16.0,17.7}). Solving
+    # (A^T A + ridge I) w = x amplifies the true null direction by
+    # ~1/ridge vs >= sigma_8^2 for every other component; one step from
+    # the GE seed beats even f32 eigh against an f64 oracle (median
+    # direction error 2e-8 vs 5.6e-5 on-chip) at batched 9x9-Cholesky
+    # cost instead of the iterative eigh (982 us/frame).
+    # ridge = 1e-10 * tr sits between the f32 noise floor (~1e-14 tr) and
+    # genuine sigma_8^2 (~1e-9 tr).
+    ata = jnp.einsum("bri,brj->bij", a, a)
+    tr = jnp.trace(ata, axis1=-2, axis2=-1)
+    eye = jnp.eye(9, dtype=dtype)
+    h = ata + (1e-10 * tr)[:, None, None] * eye
+    chol = jnp.linalg.cholesky(h)
+    w = jax.scipy.linalg.cho_solve((chol, True), x[..., None])[..., 0]
+    wn = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    ok = jnp.isfinite(w).all(axis=-1, keepdims=True) & (wn > 1e-30)
+    return jnp.where(ok, w / jnp.maximum(wn, 1e-30), x)
 
 
 def _eight_point(x1, x2):
