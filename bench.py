@@ -284,7 +284,7 @@ def main():
     sizes_env = os.environ.get("BENCH_SIZES")
     sizes = (
         tuple(int(s) for s in sizes_env.split(",")) if sizes_env
-        else (32, 64, 16)
+        else (32, 64, 128, 1, 16)
     )
     n_frames = max(70, max(sizes) + 12)  # batch + warmup(6) + iters + slack
     t0 = time.time()
@@ -500,7 +500,10 @@ def main():
     # independently so one OOM/fault cannot void the run. A measurement is
     # only attempted if enough budget remains for compile (~35-130 s) +
     # run; the headline sizes come first.
-    ladder = [b for b in sizes if b != 1] + [1]
+    # sizes run IN ORDER (the default puts the reliable headline first,
+    # then the larger batches, then single-stream — so a deadline kill or
+    # tunnel fault still leaves the most important numbers on record)
+    ladder = list(sizes)
     for b in ladder:
         if time_left() < 240 and results:
             log(f"[bench] skipping B={b}: {time_left():.0f}s left")

@@ -50,17 +50,31 @@ class TrackResult(NamedTuple):
 
 def compact(mask: jax.Array, capacity: int, *payloads):
     """Pack rows where mask is True into the first `capacity` output slots
-    (stable). Returns (out_mask [capacity], packed payloads...)."""
+    (stable). Returns (out_mask [capacity], packed payloads...).
+
+    Implemented as one-hot MXU matmuls instead of rank scatters (the same
+    ~6 ms/M-element scatter avoidance as `matching.select_rows_mxu`; the
+    four narrow scatters here measured ~0.15 ms/frame of the B=32 step).
+    Row i of the [capacity, N] selection matrix picks the unique source row
+    with rank i; HIGHEST-precision dots pass f32 payloads through exactly
+    (single nonzero per row), and int payloads < 2^24 are exact via f32."""
     n = mask.shape[0]
     rank = jnp.cumsum(mask) - 1                    # [N]
     ok = mask & (rank < capacity)
-    target = jnp.where(ok, rank, capacity)         # dump rejects into slot cap
+    oh = (
+        rank[None, :] == jnp.arange(capacity, dtype=rank.dtype)[:, None]
+    ) & ok[None, :]                                # [capacity, N]
+    ohf = oh.astype(jnp.float32)
     outs = []
     for p in payloads:
-        out = jnp.zeros((capacity + 1,) + p.shape[1:], p.dtype)
-        out = out.at[target].set(jnp.where(ok.reshape(-1, *([1] * (p.ndim - 1))), p, out[target]))
-        outs.append(out[:capacity])
-    out_mask = jnp.zeros(capacity + 1, bool).at[target].set(ok)[:capacity]
+        flat = p.reshape(n, -1).astype(jnp.float32)
+        sel = jax.lax.dot_general(
+            ohf, flat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        outs.append(sel.reshape((capacity,) + p.shape[1:]).astype(p.dtype))
+    out_mask = jnp.any(oh, axis=1)
     return (out_mask, *outs)
 
 

@@ -266,9 +266,12 @@ def integrate_chunk(
     # bias-Jacobian forcing term b_j = [-Jr dt; 0; 0] (9x3)
     b = jnp.concatenate([-jr * dt, zero, zero], axis=-2)                  # [M,9,3]
 
-    # ---- ONE fused scan for the affine bias-Jacobian recurrence AND the
-    # quadratic covariance recurrence (they share the same A_j chain, so the
-    # combined element (A, b, Q) halves the scan op count vs two scans) ----
+    # ---- ONE fused tree REDUCTION for the affine bias-Jacobian recurrence
+    # AND the quadratic covariance recurrence (they share the same A_j
+    # chain, so the combined element (A, b, Q) halves the op count vs two
+    # passes). Only the chunk TOTAL is needed — a log-depth pairwise
+    # reduction does ~M combines vs the ~2M of `associative_scan`'s full
+    # prefix computation (Blelloch up+down sweeps), at the same depth.
     def fused_combine(c1, c2):
         a1, b1, q1 = c1
         a2, b2, q2 = c2
@@ -278,10 +281,20 @@ def integrate_chunk(
             a2 @ q1 @ jnp.swapaxes(a2, -1, -2) + q2,
         )
 
-    a_tot, b_tot, q_tot = jax.tree.map(
-        lambda x: x[-1],
-        jax.lax.associative_scan(fused_combine, (a_mat, b, q)),
-    )
+    elems = (a_mat, b, q)
+    mm = m
+    while mm > 1:
+        half = mm // 2
+        even = jax.tree.map(lambda x: x[0 : 2 * half : 2], elems)
+        odd = jax.tree.map(lambda x: x[1 : 2 * half : 2], elems)
+        red = fused_combine(even, odd)  # element i covers (2i, 2i+1) in order
+        if mm % 2:
+            red = jax.tree.map(
+                lambda r, x: jnp.concatenate([r, x[-1:]], axis=0), red, elems
+            )
+        elems = red
+        mm = half + (mm % 2)
+    a_tot, b_tot, q_tot = jax.tree.map(lambda x: x[0], elems)
     x0 = jnp.concatenate([state.d_R_bg, state.d_v_bg, state.d_p_bg], axis=0)
     x_new = a_tot @ x0 + b_tot
     cov_new = a_tot @ state.cov9 @ a_tot.T + q_tot

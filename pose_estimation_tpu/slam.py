@@ -88,8 +88,12 @@ class VisualInertialSLAM:
         # history-refresh slot mapping below
         self._last_was_kf = False
         # refresh in-window history snapshots from the latest optimized
-        # window states (A/B knob for the bias sweeps)
-        self.refresh_kf_hist = True
+        # window states (A/B knob for the bias sweeps). Default OFF: the
+        # round-3-validated behavior is commit-time snapshots; the first
+        # refresh signal was WORSE on its seed (|ba| 1.27 vs the 1.2 gate)
+        # and the full fresh-vs-stale sweep did not fit the round-4 CPU
+        # budget (~20 min per seed x config on this 1-core host).
+        self.refresh_kf_hist = False
         # initializer sanity gates (beyond the reference, which accepts any
         # SfM/init output): minimum PnP inliers per accepted SfM frame and
         # physical-plausibility checks on the solved gravity/velocities

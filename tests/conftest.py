@@ -17,3 +17,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the fast tier's wall time is dominated by
+# CPU compiles of the larger jitted programs (extract/step/solver graphs);
+# caching them across runs cuts warm reruns far below the 5-minute target
+# so pre-commit validation is always affordable. Cold runs are unchanged.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), os.pardir, ".jax_test_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 - older jax without the knobs
+    pass
