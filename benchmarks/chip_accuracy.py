@@ -33,8 +33,19 @@ SEEDS = tuple(
 )
 DURATION = 6.0
 IMU_NOISE = 2.4e-3
-GATE_ATE_PCT = 2.5
-GATE_BA = 1.2
+# Gate policy (round 4, production defaults incl. bias-corruption
+# recovery, f32 sampler canvas): REGRESSION bounds on the stress-test
+# distribution, not excellence certificates. |ba| tightens 1.2 -> 1.0
+# (recovery keeps every measured seed under 0.9; without it the
+# corrupted-basin tail reaches 1.4); ATE loosens 2.5 -> 7.0 because a
+# recovered run carries its pre-detection drift + reinit transient inside
+# the 6 s horizon (measured worst 6.4 with recovery vs 8-10 on corrupted
+# basins without). The r03 gate set {2.5, 1.2} certified a no-recovery
+# config whose biases sat beyond the maxAccBias=0.6 physical bound —
+# these gates trade headline ATE for bias health, the quantity the
+# detector (reference `map.cpp:211-213`) actually bounds.
+GATE_ATE_PCT = 7.0
+GATE_BA = 1.0
 GATE_BG = 0.01
 
 
@@ -94,14 +105,26 @@ def main():
             extra["sample_dtype"] = os.environ["CHIP_ACC_SAMPLE_DTYPE"]
         if os.environ.get("CHIP_ACC_SELECT_DTYPE"):
             extra["select_dtype"] = os.environ["CHIP_ACC_SELECT_DTYPE"]
+        # kernel-backend escape hatches for accuracy bisects (xla routes
+        # around the fused pallas detection / sampler kernels entirely)
+        if os.environ.get("CHIP_ACC_FAST_BACKEND"):
+            extra["fast_backend"] = os.environ["CHIP_ACC_FAST_BACKEND"]
+        if os.environ.get("CHIP_ACC_SAMPLE_BACKEND"):
+            extra["sample_backend"] = os.environ["CHIP_ACC_SAMPLE_BACKEND"]
         cfg = sim_config(
             keyframe_rotation=0.1, keyframe_translation=0.15,
             full_ba_keyframes=True, **extra,
         )
         sim = StereoInertialSim(cfg, n_landmarks=150, seed=seed)
-        slam = VisualInertialSLAM(
-            cfg, verbose=False, reinit_on_bias_corruption=False
-        )
+        # PRODUCTION defaults — including reinit_on_bias_corruption=True:
+        # the bias-corruption recovery is part of the shipped pipeline (the
+        # replay CLIs run with it), and disabling it in this artifact hid a
+        # genuine failure mode: seed 2's init lands in a corrupted-bias
+        # basin (need_reinit fires at frame 3) and without recovery drifts
+        # to ATE 8-10 % / |ba| 1.4; with the production default the
+        # detector re-runs the init solvers and the run finishes at
+        # ATE 3.2 % / |ba| 0.06 (round-4 diagnosis).
+        slam = VisualInertialSLAM(cfg, verbose=False)
         gt = sim.run(slam, duration=DURATION, imu_noise=IMU_NOISE,
                      seed=seed + 10)
         ok = slam.state == State.OK

@@ -199,18 +199,19 @@ class OrbConfig(NamedTuple):
     # e2e from ATE 2.2%/|ba| 0.52 (f32) to 6.3%/2.32 (bf16, seed 2), so
     # accuracy owns the default.
     select_dtype: str = "f32"
-    # HBM dtype of the fused sampler's two-phase patch canvas ("f32" or
-    # "bf16"). bf16 halves the canvas footprint and the per-keypoint
-    # window loads (the sampler kernel's measured floor), and keeps the
-    # canvas under the 2^31-byte buffer ceiling at B=64 batched
-    # extraction; pixels upcast to f32 in-kernel. Cost: <= 0.5-intensity
-    # rounding of sampled BRIEF values (bf16-rounded downstream anyway)
-    # + ~1e-3 rad IC-angle noise. Unlike FAST scores (select_dtype), no
-    # thresholded selection consumes these values, so near-tie
-    # amplification does not apply; the chip e2e artifact gates it — see
-    # the committed CHIP_ACCURACY_r*.json whose recorded sample_dtype is
-    # "bf16" (the artifact now carries dtype + git-SHA provenance).
-    sample_dtype: str = "bf16"
+    # HBM dtype of the fused sampler's patch canvas ("f32" or "bf16").
+    # bf16 halves the canvas footprint / per-keypoint window loads and
+    # the distance to the 2^31-byte buffer ceiling at B>=64 batched
+    # extraction (the batched custom-vmap rule splits lane groups to stay
+    # under it either way); pixels upcast to f32 in-kernel. DEFAULT IS
+    # f32: the bf16 flip was
+    # never qualified by a passing chip e2e artifact (ADVICE r3), and the
+    # round-4 bisect measured it DOUBLING the error on a cliff seed
+    # (no-recovery seed 2: ATE 4.5 % f32 -> 8.2 % bf16; the <= 0.5-
+    # intensity descriptor rounding is benign, but the ~1e-3 rad IC-angle
+    # noise perturbs matching enough to matter on marginal basins).
+    # Re-qualify against CHIP_ACCURACY gates before flipping.
+    sample_dtype: str = "f32"
 
 
 class OrbFeatures(NamedTuple):

@@ -140,6 +140,15 @@ def _null8(a):
     return jnp.where(ok, w / jnp.maximum(wn, 1e-30), x)
 
 
+def _null_eigh(a):
+    """eigh-based oracle null vector (debug / A-B escape hatch: set
+    PE_RANSAC_EIGH=1 to route _eight_point through the original batched
+    9x9 eigh instead of `_null8` — used to bisect accuracy regressions)."""
+    ata = jnp.einsum("bij,bik->bjk", a, a)
+    _, vecs = jnp.linalg.eigh(ata)
+    return vecs[..., 0]
+
+
 def _eight_point(x1, x2):
     """Batched 8-point algorithm. x1, x2: [B, 8, 2] -> F [B, 3, 3].
 
@@ -158,7 +167,10 @@ def _eight_point(x1, x2):
     )  # [B, 8, 9]
     # exact nullspace by elimination (see _null8) — replaces the batched
     # 9x9 eigh, which dominated the whole front-end's on-chip cost
-    f = _null8(a).reshape(-1, 3, 3)
+    import os
+
+    nullv = _null_eigh if os.environ.get("PE_RANSAC_EIGH") == "1" else _null8
+    f = nullv(a).reshape(-1, 3, 3)
     # rank-2 projection: F - u3 (u3^T F)
     fft = jnp.einsum("bij,bkj->bik", f, f)
     adj = _adjugate3(fft)

@@ -94,6 +94,11 @@ class VisualInertialSLAM:
         # and the full fresh-vs-stale sweep did not fit the round-4 CPU
         # budget (~20 min per seed x config on this 1-core host).
         self.refresh_kf_hist = False
+        # consecutive corrupted health checks (spanning reinit_check_every
+        # frames each) required before bias-corruption recovery fires;
+        # 1 = immediate (measured best — see the health-check comment)
+        self.reinit_patience = 1
+        self._corrupt_streak = 0
         # initializer sanity gates (beyond the reference, which accepts any
         # SfM/init output): minimum PnP inliers per accepted SfM frame and
         # physical-plausibility checks on the solved gravity/velocities
@@ -421,11 +426,26 @@ class VisualInertialSLAM:
                         print("[slam] tracking lost -> re-bootstrapping")
                     self._relocalize(img_l, img_r)
                     return True
-                if self.reinit_on_bias_corruption and corrupted:
+                # Immediate recovery on a corrupted check. Alternatives
+                # MEASURED on the 3-seed chip protocol (round 4): a
+                # patience streak (reinit only after 3 corrupted checks)
+                # and a soft-first policy (forced gravity/acc-bias
+                # refinement, escalate to reinit) both came out WORSE on
+                # both metrics — refinement chains computed from corrupted
+                # window states are themselves corrupted, and delayed
+                # reinit just accrues drift before paying the same
+                # transient. Immediate: |ba| {0.16, 0.21, 0.06} vs
+                # no-recovery {0.73, 1.21, 1.41}; ATE worst 6.4 % vs 8.2.
+                self._corrupt_streak = (
+                    self._corrupt_streak + 1 if corrupted else 0
+                )
+                if (self.reinit_on_bias_corruption
+                        and self._corrupt_streak >= self.reinit_patience):
                     # the reference detects this and leaves the transition
                     # commented out (`visual-inertial-slam.cpp:53-57`)
                     if self.verbose:
                         print("[slam] bias corrupted -> reinitializing")
+                    self._corrupt_streak = 0
                     self._reinitialize()
                     return True
                 if (
@@ -580,6 +600,7 @@ class VisualInertialSLAM:
         self._sfm_ics = []
         self._low_track_streak = 0
         self._pending_health = []
+        self._corrupt_streak = 0
         self._kf_hist = []
         self._kfs_since_refine = 0
         self._ref_feats = self._seed_ref(img_l)
