@@ -186,6 +186,10 @@ def main(argv=None):
         payload = {
             "metric": "microbench_stage_latencies_ms",
             "device": str(jax.devices()[0]),
+            "note": ("standalone per-call latencies through the axon "
+                     "tunnel (~24 ms dispatch floor, NON-additive); for "
+                     "pipeline throughput use bench.py — this artifact "
+                     "tracks RELATIVE per-stage regressions only"),
             "results": {k: round(v, 4) for k, v in results.items()},
         }
         Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
