@@ -43,15 +43,18 @@ CONFIGS = {
     "rx3": dict(window=12, every=6, marg=1.0, rs=(3.0, 3.0)),
     "rx3e3": dict(window=12, every=3, marg=1.0, rs=(3.0, 3.0)),
     # A/B the in-window history-snapshot refresh (slam.refresh_kf_hist)
-    "fresh-rs2": dict(window=12, every=6, marg=1.0, rs=(2.0, 2.0)),
+    "fresh-rs2": dict(window=12, every=6, marg=1.0, rs=(2.0, 2.0),
+                      fresh=True),
     "stale-rs2": dict(window=12, every=6, marg=1.0, rs=(2.0, 2.0),
                       fresh=False),
-    "fresh-w24": dict(window=24, every=4, marg=1.0, rs=(2.0, 2.0)),
+    "fresh-w24": dict(window=24, every=4, marg=1.0, rs=(2.0, 2.0),
+                      fresh=True),
     "stale-w24": dict(window=24, every=4, marg=1.0, rs=(2.0, 2.0),
                       fresh=False),
     # refresh + longer chains at the refine cadence that oscillated when
     # stale (every=3) — fresher snapshots may stabilize it
-    "fresh-e3": dict(window=12, every=3, marg=1.0, rs=(2.0, 2.0)),
+    "fresh-e3": dict(window=12, every=3, marg=1.0, rs=(2.0, 2.0),
+                     fresh=True),
 }
 
 only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
@@ -72,7 +75,7 @@ for name, rc in CONFIGS.items():
         )
         slam.gravity_refine_window = rc["window"]
         slam.gravity_refine_every = rc["every"]
-        slam.refresh_kf_hist = rc.get("fresh", True)
+        slam.refresh_kf_hist = rc.get("fresh", False)  # production default
         gt = sim.run(slam, duration=6.0, imu_noise=2.4e-3, seed=seed + 10)
         ok = slam.state == State.OK
         path = np.linalg.norm(np.diff(gt[:, 1:], axis=0), axis=1).sum()

@@ -92,7 +92,8 @@ def main():
     assert mm < 5e-3, mm
     print(f"extract_batch(2) xla: {tx:.2f} ms   pallas: {tp:.2f} ms")
 
-    # bf16-canvas characterization (the production default): angle noise is
+    # bf16-canvas characterization (opt-in alternative — the production
+    # default is f32 pending CHIP_ACCURACY re-qualification): angle noise is
     # bounded only loosely (weak-gradient patches move up to ~2.5e-2 rad —
     # BRIEF tolerates degrees); descriptors must still agree away from ties.
     fb, tb = run(cfg_p._replace(sample_dtype="bf16"))

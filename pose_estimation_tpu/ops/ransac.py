@@ -143,7 +143,11 @@ def _null8(a):
 def _null_eigh(a):
     """eigh-based oracle null vector (debug / A-B escape hatch: set
     PE_RANSAC_EIGH=1 to route _eight_point through the original batched
-    9x9 eigh instead of `_null8` — used to bisect accuracy regressions)."""
+    9x9 eigh instead of `_null8` — used to bisect accuracy regressions).
+    The flag is read ONCE at module import (`_USE_EIGH` below): set it in
+    the environment BEFORE importing pose_estimation_tpu. Toggling it later
+    in-process has no effect — callers' jit caches would keep the traced
+    variant anyway, so import-time read makes the semantics explicit."""
     ata = jnp.einsum("bij,bik->bjk", a, a)
     _, vecs = jnp.linalg.eigh(ata)
     return vecs[..., 0]

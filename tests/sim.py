@@ -77,9 +77,22 @@ def sim_config(width=320, height=240, **overrides) -> VIOConfig:
 
 @dataclasses.dataclass
 class Trajectory:
-    """Analytic trajectory in the EuRoC world convention (gravity -x)."""
+    """Analytic trajectory in the EuRoC world convention (gravity -x).
+
+    Two families (CHIP_ACCURACY protocol — family A is the historical 6-s
+    meander; family B has different harmonic content and BOUNDED yaw, so it
+    stays valid on 12-20 s horizons where A's 0.08t yaw drift would turn
+    the camera away from the landmark hall)."""
+
+    family: str = "A"
 
     def pos(self, t):
+        if self.family == "B":
+            return np.array([
+                0.12 * np.sin(0.8 * t + 1.0),
+                0.8 * t,
+                0.45 * np.cos(0.55 * t) - 0.45,
+            ])
         # gentle 3D meander; body x points along gravity axis (-x world is
         # "down"), motion mostly in the y-z plane
         return np.array([
@@ -92,9 +105,22 @@ class Trajectory:
         """Body-to-world rotation: slow yaw/pitch wobbles around identity."""
         from scipy.spatial.transform import Rotation as R
 
-        return R.from_rotvec(
-            np.array([0.12 * np.sin(0.5 * t), 0.10 * np.sin(0.8 * t), 0.08 * t])
-        ).as_matrix()
+        if self.family == "B":
+            rv = np.array([
+                0.10 * np.sin(0.6 * t),
+                0.12 * np.sin(0.45 * t + 0.5),
+                0.25 * np.sin(0.3 * t),
+            ])
+        else:
+            rv = np.array([
+                0.12 * np.sin(0.5 * t), 0.10 * np.sin(0.8 * t), 0.08 * t
+            ])
+        return R.from_rotvec(rv).as_matrix()
+
+
+def set_family(sim: "StereoInertialSim", family: str) -> None:
+    """Switch a sim's trajectory family in place (landmark field is shared)."""
+    sim.traj = Trajectory(family=family)
 
 
 class StereoInertialSim:
