@@ -276,6 +276,23 @@ def build_problem(
         w_rep = jnp.repeat(w_lm[:, None], wsize * 2, axis=1).reshape(-1)
         return jnp.concatenate([pair_w, w_rep])
 
+    def cost_fn(r):
+        """TRUE robustified cost (Ceres convention; see
+        build_normal_problem) — pass as lm_solve(cost_fn=...) so the
+        dense oracle surface reports/accepts on the same cost as the
+        normal-equations hot path."""
+        pairs2 = jnp.sum(jnp.square(r[:m_pairs] * pair_w))
+        s_l = jnp.sum(
+            jnp.square(r[m_pairs:].reshape(L, wsize * 2)), axis=1
+        )
+        rho_l = jnp.where(
+            s_l <= 1.0, s_l,
+            2.0 * jnp.sqrt(jnp.maximum(s_l, 1e-32)) - 1.0,
+        )
+        rho_l = jnp.where(lm_valid, rho_l, 0.0)
+        return 0.5 * (pairs2 + jnp.sum(rho_l))
+
+    pr["aux"]["cost_fn"] = cost_fn
     x0 = jnp.zeros(n, dtype)
     return residual_fn, jac, weight_fn, x0, pr["aux"]
 
@@ -505,7 +522,20 @@ def build_normal_problem(
             h = h.at[6 * k : 6 * k + 6, 6 * k : 6 * k + 6].add(hw[k])
         g = jac_pairs.T @ pairs.reshape(-1)
         g = g.at[: 6 * wsize].add(gw.reshape(-1))
-        cost = 0.5 * (jnp.sum(pairs * pairs) + w_l @ s_l)
+        # TRUE robustified cost, Ceres convention (0.5 sum rho(s), Huber
+        # rho(s) = s | 2 sqrt(s) - 1): measured identical to the real
+        # Ceres' reported cost on a recorded problem (CERES_ORACLE.json).
+        # The previous IRLS-weighted cost (0.5 w s = 0.5 sqrt(s) on
+        # outlier blocks) under-reports outliers and makes the accept /
+        # gain-ratio decisions inconsistent with the model decrease; g is
+        # the exact gradient of THIS cost (d rho/dx = rho'(s) J^T r with
+        # rho' = w), H its Gauss-Newton approximation.
+        rho_l = jnp.where(
+            s_l <= 1.0, s_l,
+            2.0 * jnp.sqrt(jnp.maximum(s_l, 1e-32)) - 1.0,
+        )
+        rho_l = jnp.where(lm_valid, rho_l, 0.0)
+        cost = 0.5 * (jnp.sum(pairs * pairs) + jnp.sum(rho_l))
         if use_marg_prior:
             rp = d0 + x
             g = g + g_pr0 + ph @ x

@@ -60,18 +60,23 @@ def lm_solve(
     x0: jax.Array,                                   # [n]
     weight_fn: Callable[[jax.Array], jax.Array] | None = None,
     options: LMOptions = LMOptions(),
+    cost_fn: Callable[[jax.Array], jax.Array] | None = None,
 ):
     """Minimize 0.5 * || sqrt(w(r)) r(x) ||^2 with frozen Jacobian `jac`.
 
     weight_fn maps the residual vector -> per-residual IRLS weights (Huber
-    etc.); defaults to unit weights. Returns (x, info dict).
+    etc.); defaults to unit weights. cost_fn(r) optionally reports the
+    TRUE robustified cost (Ceres convention; `ba.build_problem` aux
+    exposes one) for accept / convergence decisions — without it the
+    IRLS-weighted cost is used, which under-reports outlier blocks.
+    Returns (x, info dict).
     """
     if weight_fn is None:
         weight_fn = lambda r: jnp.ones_like(r)
 
     r0 = residual_fn(x0)
     w0 = weight_fn(r0)
-    cost0 = _weighted_cost(r0, w0)
+    cost0 = cost_fn(r0) if cost_fn is not None else _weighted_cost(r0, w0)
     dtype = x0.dtype
 
     def body(s: LMState) -> LMState:
@@ -94,7 +99,8 @@ def lm_solve(
         x_new = s.x + step
         r_new = residual_fn(x_new)
         w_new = weight_fn(r_new)
-        new_cost = _weighted_cost(r_new, w_new)
+        new_cost = (cost_fn(r_new) if cost_fn is not None
+                    else _weighted_cost(r_new, w_new))
 
         # Predicted reduction of the damped quadratic model (Ceres
         # levenberg_marquardt_strategy.cc): -g's - 0.5 s'Hs

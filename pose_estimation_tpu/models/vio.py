@@ -25,6 +25,7 @@ from pose_estimation_tpu.imu import preintegration as pre
 from pose_estimation_tpu.models import pool as pool_mod
 from pose_estimation_tpu.models import window as win_mod
 from pose_estimation_tpu.ops import orb, remap
+from pose_estimation_tpu.utils import lie
 from pose_estimation_tpu.utils.config import VIOConfig
 
 
@@ -234,7 +235,13 @@ def extract_rectified(
     undistort/rectify only the K keypoint coords analytically — the dense
     full-frame remap (the slowest single op on this chip) never runs.
     dense mode: reference-faithful remap-then-extract.
+
+    Accepts any input dtype (replay CLIs pass the decoded uint8 frames
+    straight through — 4x less host->device traffic on the tunneled chip
+    than a host-side float conversion) and casts on device.
     """
+    img_l = img_l.astype(static.dtype)
+    img_r = img_r.astype(static.dtype)
     if static.rectify_mode == "dense":
         rect = remap.remap_bilinear(
             jnp.stack([img_l, img_r]), jnp.stack([consts.map_l, consts.map_r])
@@ -441,6 +448,19 @@ def ok_step(
         # trajectory (the reference pushes it from pushImuConstraint,
         # `map.cpp:135-161` -> `viewer.cpp:202`)
         "p_pred": p_pred,
+        # per-frame record/health bundle, computed IN-GRAPH: the host FSM
+        # consumes {quat, p, v, bg, ba} (saveResults parity,
+        # `visual-inertial-slam.cpp:175-204`) and a keyframe snapshot for
+        # gravity refinement. Materializing these here keeps slam.process
+        # from issuing ~20 tiny slicing/quaternion dispatches per frame —
+        # on the tunneled chip those dominated replay latency (~100 ms/f).
+        "rec_quat": lie.mat_to_quat(win.R[-1]),
+        "rec_p": win.p[-1],
+        "rec_v": win.v[-1],
+        "rec_bg": win.ics.bg_i[-1] + win.dbg[-1],
+        "rec_ba": win.ics.ba_i[-1] + win.dba[-1],
+        "rec_R": win.R[-1],
+        "rec_ic": jax.tree.map(lambda a: a[-1], win.ics),
     }
     return state, metrics
 

@@ -282,8 +282,11 @@ class VisualInertialSLAM:
     # ------------------------------------------------------------------ #
 
     def process(self, gray_l: np.ndarray, gray_r: np.ndarray, img_ts: int) -> bool:
-        img_l = jnp.asarray(gray_l, self._dtype)
-        img_r = jnp.asarray(gray_r, self._dtype)
+        # no host-side dtype conversion: uint8 frames ship as-is (4x less
+        # tunnel traffic); every jitted consumer casts on device
+        # (vio.extract_rectified)
+        img_l = jnp.asarray(gray_l)
+        img_r = jnp.asarray(gray_r)
 
         if self.state == State.SYNCHRONIZING:
             if self._synchronize(img_ts):
@@ -365,7 +368,7 @@ class VisualInertialSLAM:
                 self.vio, metrics = self._ok_step(
                     self.vio, img_l, img_r, gyr, acc, mask, self._next_key()
                 )
-            self._record(img_ts)
+            self._record(img_ts, metrics)
             if self.verbose:
                 print(
                     f"[slam] ts={img_ts} stereo={int(metrics['n_stereo'])} "
@@ -382,6 +385,7 @@ class VisualInertialSLAM:
                         k: (float(v) if np.ndim(v) == 0
                             else np.asarray(v).tolist())
                         for k, v in metrics.items()
+                        if not k.startswith("rec_")
                     }}
                 ) + "\n")
                 self._metrics_sink.flush()
@@ -392,14 +396,19 @@ class VisualInertialSLAM:
             # host sync every reinit_check_every frames; the streak itself
             # advances PER FRAME, so detection latency is bounded by the
             # check cadence, not multiplied by it
-            win = self.vio.win
+            if "rec_R" in metrics:      # fused path: snapshot is in-graph
+                snap = (metrics["rec_R"], metrics["rec_p"],
+                        metrics["rec_v"], metrics["rec_ic"])
+            else:                       # staged timing-parity path
+                win = self.vio.win
+                snap = (win.R[-1], win.p[-1], win.v[-1],
+                        jax.tree.map(lambda a: a[-1], win.ics))
             self._pending_health.append((
                 metrics["n_tracked"], metrics["need_reinit"],
                 metrics["is_keyframe"],
                 # lazy keyframe snapshot for gravity refinement: state +
                 # the finalized constraint ending at this keyframe
-                (win.R[-1], win.p[-1], win.v[-1],
-                 jax.tree.map(lambda a: a[-1], win.ics)),
+                snap,
             ))
             if self._frame_count % self.reinit_check_every == 0:
                 pending, self._pending_health = self._pending_health, []
@@ -733,10 +742,19 @@ class VisualInertialSLAM:
 
     # ------------------------------------------------------------------ #
 
-    def _record(self, img_ts: int):
+    def _record(self, img_ts: int, metrics: dict | None = None):
         # device arrays are stored WITHOUT forcing a host sync (conversion is
         # deferred to save_results / trajectory) so the dispatch pipeline
-        # stays asynchronous
+        # stays asynchronous. When the fused step already materialized the
+        # record bundle in-graph (metrics rec_*), reuse it — per-frame
+        # slicing/quaternion dispatch chains here cost ~100 ms/frame on the
+        # tunneled chip.
+        if metrics is not None and "rec_quat" in metrics:
+            self._records.append((
+                img_ts, metrics["rec_quat"], metrics["rec_p"],
+                metrics["rec_v"], metrics["rec_bg"], metrics["rec_ba"],
+            ))
+            return
         win = self.vio.win
         self._records.append((
             img_ts,

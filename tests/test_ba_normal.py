@@ -54,7 +54,7 @@ class TestNormalEquationsPath:
         """H, g, cost from build_normal_problem == J^T W J, J^T W r,
         0.5 r^T W r from the dense problem, at several iterates."""
         win, obs, calib = make_window()
-        residual_fn, jac, weight_fn, x0, _ = ba_mod.build_problem(
+        residual_fn, jac, weight_fn, x0, aux = ba_mod.build_problem(
             win, obs, calib, GRAVITY, 1e-5
         )
         normal_fn, x0n, _ = ba_mod.build_normal_problem(
@@ -73,7 +73,8 @@ class TestNormalEquationsPath:
             w = weight_fn(r)
             h_d = (jac.T * w[None, :]) @ jac
             g_d = (jac.T * w[None, :]) @ r
-            c_d = 0.5 * jnp.sum(w * r * r)
+            # TRUE robustified cost (Ceres convention) on both paths
+            c_d = aux["cost_fn"](r)
             h_n, g_n, c_n = normal_fn(x)
             np.testing.assert_allclose(
                 np.asarray(h_n), np.asarray(h_d), rtol=1e-9, atol=1e-9
@@ -89,12 +90,13 @@ class TestNormalEquationsPath:
         """Full LM solves land on the same deltas (fp-order differences
         only; the problem is well-conditioned so both converge tightly)."""
         win, obs, calib = make_window()
-        residual_fn, jac, weight_fn, x0, _ = ba_mod.build_problem(
+        residual_fn, jac, weight_fn, x0, aux_d = ba_mod.build_problem(
             win, obs, calib, GRAVITY, 1e-5
         )
         x_dense, info_d = lm_mod.lm_solve(
             residual_fn, jac, x0, weight_fn,
             lm_mod.LMOptions(max_iterations=30),
+            cost_fn=aux_d["cost_fn"],
         )
         normal_fn, x0n, _ = ba_mod.build_normal_problem(
             win, obs, calib, GRAVITY, 1e-5
