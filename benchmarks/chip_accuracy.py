@@ -33,20 +33,27 @@ SEEDS = tuple(
 )
 DURATION = 6.0
 IMU_NOISE = 2.4e-3
-# Gate policy (round 4, production defaults incl. bias-corruption
-# recovery, f32 sampler canvas): REGRESSION bounds on the stress-test
-# distribution, not excellence certificates. |ba| tightens 1.2 -> 1.0
-# (recovery keeps every measured seed under 0.9; without it the
-# corrupted-basin tail reaches 1.4); ATE loosens 2.5 -> 7.0 because a
-# recovered run carries its pre-detection drift + reinit transient inside
-# the 6 s horizon (measured worst 6.4 with recovery vs 8-10 on corrupted
-# basins without). The r03 gate set {2.5, 1.2} certified a no-recovery
-# config whose biases sat beyond the maxAccBias=0.6 physical bound —
-# these gates trade headline ATE for bias health, the quantity the
-# detector (reference `map.cpp:211-213`) actually bounds.
-GATE_ATE_PCT = 7.0
+# Gate policy (round 5, production defaults: warm-first recovery with
+# init-transient deferral + |ba|-reduction acceptance, landmarks-fixed
+# BA, f32 canvas): the true-robust-cost LM removed the corrupted-basin
+# ATE failure mode (no-recovery worst went 8-10 % -> ~1.8 % on the CPU
+# protocol) and the cold-reinit storms the r4 gate absorbed (6.4-8.8 %
+# per fire), so ATE re-tightens 7.0 -> 4.0 (CPU worst with the warm
+# policy: 2.55 %; chip adds f32/kernel noise headroom). |ba| stays 1.0:
+# the warm policy may DEFER corrections whose solve would grow |ba|, so
+# elevated-but-bounded bias with tight ATE is an accepted state.
+GATE_ATE_PCT = 4.0
 GATE_BA = 1.0
 GATE_BG = 0.01
+# second trajectory family / longer horizon (VERDICT r4 #9): family B has
+# bounded yaw so 12 s stays inside the landmark hall; fewer seeds (wall
+# budget) but a different harmonic family makes the gates harder to
+# overfit. Same gate values as the 6-s stage.
+FAMB = os.environ.get("CHIP_ACC_FAMB", "1") == "1"
+FAMB_SEEDS = tuple(
+    int(s) for s in os.environ.get("CHIP_ACC_FAMB_SEEDS", "0,1").split(",")
+)
+FAMB_DURATION = 12.0
 
 
 def log(*a):
@@ -87,7 +94,7 @@ def main():
     import jax
     import numpy as np
 
-    from sim import StereoInertialSim, sim_config
+    from sim import StereoInertialSim, set_family, sim_config
 
     from pose_estimation_tpu.io.ate import ate_rmse
     from pose_estimation_tpu.slam import State, VisualInertialSLAM
@@ -95,8 +102,11 @@ def main():
     backend = jax.default_backend()
     log(f"[chip_accuracy] backend={backend} devices={jax.devices()}")
 
+    runs = [("A", s, DURATION) for s in SEEDS]
+    if FAMB:
+        runs += [("B", s, FAMB_DURATION) for s in FAMB_SEEDS]
     per_seed = {}
-    for seed in SEEDS:
+    for family, seed, duration in runs:
         t0 = time.time()
         extra = {}
         # qualify non-default kernel dtypes against the e2e gates, e.g.
@@ -111,11 +121,21 @@ def main():
             extra["fast_backend"] = os.environ["CHIP_ACC_FAST_BACKEND"]
         if os.environ.get("CHIP_ACC_SAMPLE_BACKEND"):
             extra["sample_backend"] = os.environ["CHIP_ACC_SAMPLE_BACKEND"]
+        # PRODUCTION config: full_ba_keyframes stays at its default
+        # (False). Rounds 2-4 set it True as the "flagship"; the round-5
+        # true-robust-cost LM made the landmarks-fixed pipeline as good or
+        # better (8 s sim: 1.3 % vs 6.8 % — full BA feeds tracking error
+        # back through refined landmarks on long horizons), so the
+        # artifact now gates exactly what ships.
         cfg = sim_config(
-            keyframe_rotation=0.1, keyframe_translation=0.15,
-            full_ba_keyframes=True, **extra,
+            keyframe_rotation=0.1, keyframe_translation=0.15, **extra,
         )
-        sim = StereoInertialSim(cfg, n_landmarks=150, seed=seed)
+        n_lm = 150 if family == "A" else 220
+        sim = StereoInertialSim(
+            cfg, n_landmarks=n_lm, seed=seed,
+            y_max=max(11.0, 0.8 * duration + 5.0),
+        )
+        set_family(sim, family)
         # PRODUCTION defaults — including reinit_on_bias_corruption=True:
         # the bias-corruption recovery is part of the shipped pipeline (the
         # replay CLIs run with it), and disabling it in this artifact hid a
@@ -125,7 +145,14 @@ def main():
         # detector re-runs the init solvers and the run finishes at
         # ATE 3.2 % / |ba| 0.06 (round-4 diagnosis).
         slam = VisualInertialSLAM(cfg, verbose=False)
-        gt = sim.run(slam, duration=DURATION, imu_noise=IMU_NOISE,
+        # recovery-policy bisect knob: CHIP_ACC_RECOVERY=warm|cold|off
+        # (default: production defaults, i.e. warm-first with escalation)
+        rec = os.environ.get("CHIP_ACC_RECOVERY")
+        if rec == "cold":
+            slam.warm_recovery = False
+        elif rec == "off":
+            slam.reinit_on_bias_corruption = False
+        gt = sim.run(slam, duration=duration, imu_noise=IMU_NOISE,
                      seed=seed + 10)
         ok = slam.state == State.OK
         path = float(np.linalg.norm(np.diff(gt[:, 1:], axis=0), axis=1).sum())
@@ -133,7 +160,8 @@ def main():
         win = slam.vio.win
         bg = float(np.linalg.norm(np.asarray(win.ics.bg_i[-1] + win.dbg[-1])))
         ba = float(np.linalg.norm(np.asarray(win.ics.ba_i[-1] + win.dba[-1])))
-        per_seed[str(seed)] = {
+        key = str(seed) if family == "A" else f"B{seed}"
+        per_seed[key] = {
             "ok": bool(ok),
             "ate_pct_of_path": round(ate_pct, 3),
             "bg": round(bg, 5),
@@ -141,7 +169,8 @@ def main():
             "path_m": round(path, 3),
             "wall_s": round(time.time() - t0, 1),
         }
-        log(f"[chip_accuracy] seed={seed}: ok={ok} ate={ate_pct:.2f}% "
+        log(f"[chip_accuracy] fam{family} seed={seed} {duration:.0f}s: "
+            f"ok={ok} ate={ate_pct:.2f}% "
             f"|bg|={bg:.4f} |ba|={ba:.3f} ({time.time() - t0:.0f}s)")
 
     worst_ate = max(v["ate_pct_of_path"] for v in per_seed.values())

@@ -99,6 +99,15 @@ class VisualInertialSLAM:
         # 1 = immediate (measured best — see the health-check comment)
         self.reinit_patience = 1
         self._corrupt_streak = 0
+        # warm-first recovery (VERDICT r4 #6): on a corrupted check try the
+        # continuity-preserving re-solve (_warm_recover) before the cold
+        # reinit; escalate after warm_recovery_max consecutive warm passes
+        # that fail to clear the detector
+        self.warm_recovery = True
+        self.warm_recovery_max = 2
+        self._warm_streak = 0
+        self.max_recover_angle = 0.35     # rad; implausibility gate only
+        self.max_recover_dba = 3.0        # m/s^2
         # initializer sanity gates (beyond the reference, which accepts any
         # SfM/init output): minimum PnP inliers per accepted SfM frame and
         # physical-plausibility checks on the solved gravity/velocities
@@ -185,6 +194,16 @@ class VisualInertialSLAM:
             axes=profile.alignment_axes,
             gravity=jnp.asarray(cfg.gravity, dtype),
             sigma_tilt=refine_sigmas[0], sigma_dba=refine_sigmas[1],
+        ))
+        # warm-recovery variant: same solver, regularizers opened up — the
+        # corrupted-bias basin is a ~5-10 deg gravity tilt with |dba| ~ 1,
+        # exactly what the routine-upkeep sigmas are tuned to reject
+        self._recover_jit = jax.jit(functools.partial(
+            init_solvers.refine_gravity,
+            unit_g=jnp.asarray(profile.gravity_dir, dtype),
+            axes=profile.alignment_axes,
+            gravity=jnp.asarray(cfg.gravity, dtype),
+            sigma_tilt=5.0, sigma_dba=5.0, rounds=3,
         ))
         self._integrate = jax.jit(
             functools.partial(pre.integrate_chunk, params=self.consts.imu)
@@ -448,15 +467,51 @@ class VisualInertialSLAM:
                 self._corrupt_streak = (
                     self._corrupt_streak + 1 if corrupted else 0
                 )
+                if not corrupted:
+                    self._warm_streak = 0
                 if (self.reinit_on_bias_corruption
                         and self._corrupt_streak >= self.reinit_patience):
                     # the reference detects this and leaves the transition
                     # commented out (`visual-inertial-slam.cpp:53-57`)
-                    if self.verbose:
-                        print("[slam] bias corrupted -> reinitializing")
                     self._corrupt_streak = 0
-                    self._reinitialize()
-                    return True
+                    if (self.warm_recovery
+                            and len(self._kf_hist) < self.gravity_refine_min):
+                        # Init-transient deferral (round-5 measurement):
+                        # the detector routinely fires within the first
+                        # seconds while the near-degenerate (tilt, ba)
+                        # pair settles; a cold reinit here rebuilds init
+                        # from the SAME information and measured 6.4-8.8 %
+                        # ATE vs 0.9-1.3 % for inaction (rec_matrix, CPU
+                        # x64, euroc seeds 0/2 + kitti seed 0). Defer
+                        # until the keyframe chain can support the
+                        # continuity-preserving warm solve.
+                        if self.verbose:
+                            print("[slam] bias corrupted (init transient;"
+                                  " recovery deferred)")
+                    elif self.warm_recovery:
+                        # warm-first: continuity-preserving re-solve. A
+                        # REJECTED warm solve (implausible, or it would
+                        # grow |ba|) defers — inaction measured 0.9-1.3 %
+                        # ATE vs 6.4-8.8 % for the cold reinit on every
+                        # stress seed. Cold only after warm_recovery_max
+                        # ACCEPTED warm passes still fail to clear the
+                        # detector (persistent corruption warm cannot fix).
+                        if self._warm_streak >= self.warm_recovery_max:
+                            if self.verbose:
+                                print("[slam] bias corrupted ->"
+                                      " reinitializing")
+                            self._warm_streak = 0
+                            self._reinitialize()
+                            return True
+                        if self._warm_recover():
+                            self._warm_streak += 1
+                        elif self.verbose:
+                            print("[slam] warm recovery deferred")
+                    else:
+                        if self.verbose:
+                            print("[slam] bias corrupted -> reinitializing")
+                        self._reinitialize()
+                        return True
                 if (
                     self.gravity_refine_window
                     and len(self._kf_hist) >= self.gravity_refine_min
@@ -690,7 +745,14 @@ class VisualInertialSLAM:
         if self.verbose:
             print(f"[slam] gravity refine: angle={angle*57.3:.2f} deg, "
                   f"dba={np.asarray(dba)}")
-        d_rm = lie.so3_exp(delta_r)
+        self._apply_alignment(lie.so3_exp(delta_r), dba)
+
+    def _apply_alignment(self, d_rm, dba):
+        """Apply a world-alignment rotation + acc-bias correction to ALL
+        live state (window, pool, prior, keyframe history) — continuity-
+        preserving; shared by the routine gravity refinement and the warm
+        bias-corruption recovery."""
+        win = self.vio.win
         pool = self.vio.pool
         # keep the marginalization prior consistent with the rotated world:
         # dr/dp/bias local coords are world-rotation-invariant, dv is a
@@ -722,6 +784,62 @@ class VisualInertialSLAM:
         self._kf_hist = [
             (d_rm @ h[0], d_rm @ h[1], d_rm @ h[2], h[3]) for h in self._kf_hist
         ]
+
+    def _warm_recover(self) -> bool:
+        """Warm bias-corruption recovery (keeps the landmark pool, the
+        window, and tracking continuity): re-solve the gravity tilt + acc
+        bias over the keyframe-history chain using the refinement solver
+        with its small-correction regularizers OPENED UP (`_recover_jit`)
+        and apply via `_apply_alignment`. Unlike `_reinitialize`, nothing
+        is discarded and the world is not re-anchored, so a successful
+        recovery costs no tracking transient. Returns False (caller
+        escalates to the cold reinit) when the keyframe chain is too short
+        or the solve is implausible."""
+        if len(self._kf_hist) < self.gravity_refine_min:
+            return False
+        win = self.vio.win
+        n_hist = (
+            self.gravity_refine_window
+            if len(self._kf_hist) >= self.gravity_refine_window
+            else self.gravity_refine_min
+        )
+        hist = self._kf_hist[-n_hist:]
+        R = jnp.stack([h[0] for h in hist])
+        p = jnp.stack([h[1] for h in hist])
+        ics = jax.tree.map(lambda *a: jnp.stack(a), *[h[3] for h in hist[1:]])
+        bg_now = win.ics.bg_i[-1] + win.dbg[-1]
+        ba_now = win.ics.ba_i[-1] + win.dba[-1]
+        ics = jax.vmap(pre.repropagate)(
+            ics, bg_now[None] - ics.bg_i, ba_now[None] - ics.ba_i
+        )
+        g_est, delta_r, dba = self._recover_jit(R, p, ics)
+        g_norm = float(jnp.linalg.norm(g_est))
+        angle = float(jnp.linalg.norm(delta_r))
+        dba_n = float(jnp.linalg.norm(dba))
+        gm = self.cfg.gravity_magnitude
+        # the recovery must REDUCE the quantity whose bound tripped: a
+        # correction that grows |ba| is the solve chasing state error, not
+        # bias (measured: accepting it cost ATE 1.2 -> 3.3 % and |ba|
+        # 1.17 -> 1.59 on the euroc stress seed)
+        ba_new = float(np.linalg.norm(np.asarray(ba_now + dba)))
+        ba_old = float(np.linalg.norm(np.asarray(ba_now)))
+        ok = (
+            np.isfinite(g_norm) and np.isfinite(angle) and np.isfinite(dba_n)
+            and 0.7 * gm < g_norm < 1.4 * gm
+            and angle < self.max_recover_angle and dba_n < self.max_recover_dba
+            and ba_new < ba_old
+        )
+        if not ok:
+            if self.verbose:
+                print(f"[slam] warm recovery rejected (|g|={g_norm:.2f}, "
+                      f"angle={angle:.3f}, |dba|={dba_n:.3f})")
+            return False
+        if self.verbose:
+            print(f"[slam] warm recovery: angle={angle * 57.3:.2f} deg, "
+                  f"dba={np.asarray(dba)}")
+        self._apply_alignment(lie.so3_exp(delta_r), dba)
+        self._kfs_since_refine = 0
+        return True
 
     def _reinitialize(self):
         """Bias-corruption recovery: rerun the init solvers on the current

@@ -129,7 +129,10 @@ class StereoInertialSim:
         self.cfg = cfg
         self.rng = np.random.default_rng(seed)
         self.traj = Trajectory()
-        self.g_w = np.array([-G, 0.0, 0.0])  # euroc convention
+        # world gravity on the DATASET PROFILE's axis (euroc -x, kitti -z,
+        # cfsd +z — reference `map.cpp:40-50`), so the same world exercises
+        # each profile's alignment axes and noise-unit conversions e2e
+        self.g_w = G * np.asarray(cfg.profile.gravity_dir, np.float64)
         # landmark field in front of the body's +x (the camera optical axis:
         # r_cb maps body x -> cam z) over the whole run. y_max must cover
         # the trajectory's y extent (~0.8 m/s * duration + margin) or the

@@ -72,35 +72,31 @@ class TestEndToEnd:
         assert np.linalg.norm(bg) < 0.01
         assert np.linalg.norm(ba) < 1.2
 
-    def test_full_ba_improves_ate(self):
-        """Keyframe full BA (Schur landmark refinement) must beat the
-        reference-style landmarks-fixed pipeline on trajectory accuracy —
-        the in-pipeline proof the machinery earns its place (the reference
-        carries it only commented out, `optimizer.cpp:122-133`).
+    def test_full_ba_e2e_quality(self):
+        """Keyframe full BA (Schur landmark refinement) e2e quality gate.
 
-        Sparse landmarks (60) make triangulation error the dominant term so
-        landmark refinement has signal to recover; with dense landmarks the
-        round-2 front-end (bilinear pyramid + sparse IC angles) already
-        tracks well enough that both arms land at noise-level ATE and the
-        comparison is a coin flip. Measured on this sim/seed:
-        ~5.2% -> ~2.8% ATE/path at 6 s with IMU noise. Gravity refinement
-        is disabled in BOTH arms — it corrects a different error term
-        (init tilt/bias) and would confound the landmark-refinement A/B."""
-        ates = {}
-        for fba in (False, True):
-            cfg = sim_config(
-                keyframe_rotation=0.1, keyframe_translation=0.15,
-                full_ba_keyframes=fba,
-            )
-            sim = StereoInertialSim(cfg, n_landmarks=60, seed=0)
-            slam = VisualInertialSLAM(cfg, reinit_on_bias_corruption=False)
-            slam.gravity_refine_window = 0
-            gt = sim.run(slam, duration=6.0, imu_noise=2.4e-3)
-            assert slam.state == State.OK
-            path = np.linalg.norm(np.diff(gt[:, 1:], axis=0), axis=1).sum()
-            ates[fba] = ate_rmse(slam.trajectory, gt) / path
-        assert ates[True] < ates[False], ates
-        assert ates[True] < 0.05, ates
+        History: in rounds 2-4 this was an A/B "full BA must BEAT the
+        landmarks-fixed pipeline" (measured ~5.2% -> ~2.8% ATE/path). The
+        round-5 true-robust-cost LM (see backend/ba.build_normal_problem)
+        improved the LANDMARKS-FIXED arm to ~1.9% on the same protocol —
+        at which point the A/B lost its signal (6 s: 1.94 vs 2.21, coin
+        flip; 8 s: full BA is WORSE, 1.3 vs 6.8 — refined landmarks feed
+        back tracking error on long horizons). Production default is OFF
+        (`utils/config.py`); the machinery stays available + unit-tested
+        (test_full_ba.py), and this test now gates only that the full-BA
+        arm still tracks to solid e2e accuracy."""
+        cfg = sim_config(
+            keyframe_rotation=0.1, keyframe_translation=0.15,
+            full_ba_keyframes=True,
+        )
+        sim = StereoInertialSim(cfg, n_landmarks=60, seed=0)
+        slam = VisualInertialSLAM(cfg, reinit_on_bias_corruption=False)
+        slam.gravity_refine_window = 0
+        gt = sim.run(slam, duration=6.0, imu_noise=2.4e-3)
+        assert slam.state == State.OK
+        path = np.linalg.norm(np.diff(gt[:, 1:], axis=0), axis=1).sum()
+        ate = ate_rmse(slam.trajectory, gt) / path
+        assert ate < 0.05, ate
 
     def test_with_imu_noise(self):
         """EuRoC-class IMU noise must not degrade tracking (whitened
