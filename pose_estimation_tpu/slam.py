@@ -78,7 +78,10 @@ class VisualInertialSLAM:
         # the chain grows toward `window` as keyframes accumulate)
         self.gravity_refine_min = 6
         self.gravity_refine_every = 6     # keyframes between refinements
-        self.max_refine_angle = 0.35      # rad; distrust bigger corrections
+        # routine-upkeep trust region: small corrections only (the warm
+        # recovery path owns large ones, with its own acceptance gates);
+        # 0.35 rad let a chaotic chain sneak an 11.5 deg tilt through
+        self.max_refine_angle = 0.12      # rad; distrust bigger corrections
         self.max_refine_dba = 3.0         # m/s^2
         self._kf_hist: list[tuple] = []
         self._kfs_since_refine = 0
@@ -730,12 +733,20 @@ class VisualInertialSLAM:
         angle = float(jnp.linalg.norm(delta_r))
         dba_n = float(jnp.linalg.norm(dba))
         self._kfs_since_refine = 0
+        # physical-bound gate: a routine refinement whose resulting TOTAL
+        # acc bias exceeds maxAccBias is by definition wrong (the detector
+        # bound, reference map.cpp:211-213) — chip f32 runs showed the
+        # sigma-regularized solve occasionally accepting an ~11 deg tilt
+        # with |dba| 1.9 on a chaotic chain, poisoning the run (round 5,
+        # seed 1: ATE 1.2 -> 6.2 %)
+        ba_after = float(np.linalg.norm(np.asarray(ba_now + dba)))
         ok = (
             np.isfinite(g_norm) and np.isfinite(angle) and np.isfinite(dba_n)
             and 0.8 * self.cfg.gravity_magnitude < g_norm
             < 1.2 * self.cfg.gravity_magnitude
             and angle < self.max_refine_angle
             and dba_n < self.max_refine_dba
+            and ba_after < self.cfg.max_acc_bias
         )
         if not ok:
             if self.verbose:
