@@ -190,3 +190,48 @@ class TestPallasMoments:
         np.testing.assert_allclose(
             np.asarray(mv[0]).reshape(6, 96, 128)[sl], np.asarray(mf[0])[sl],
             atol=1e-2)
+
+
+class TestPerLevelBudgets:
+    def test_budgets_path_matches_flat_per_level(self):
+        """ADVICE r4: the budgets= per-level top-k branch had no caller and
+        no test. Semantics contract (select_keypoints_fused docstring): for
+        a LEVEL-MAJOR stack, each level's planes carry that level's budget
+        k_l of candidates, identical in value/order to the flat path's
+        top-k_l for the same plane; slots past k_l are invalid."""
+        from pose_estimation_tpu.ops import fast as fast_mod
+
+        rng = np.random.default_rng(23)
+        h, w = 96, 128
+        b = 2          # images per level
+        stack = jnp.asarray(rng.uniform(0, 255, (4, h, w)), jnp.float32)
+        # level-major: [L0 img0, L0 img1, L1 img0, L1 img1]
+        bounds = [(h, w)] * 2 + [(64, 96)] * 2
+        budgets = [60, 25]
+        th_hi, th_lo, kmax, kpc = 20.0, 7.0, 100, 4
+
+        got = fast_mod.select_keypoints_fused(
+            stack, bounds, th_hi, th_lo, kmax, border=19, k_per_cell=kpc,
+            interpret=True, budgets=budgets)
+        flat = fast_mod.select_keypoints_fused(
+            stack, bounds, th_hi, th_lo, kmax, border=19, k_per_cell=kpc,
+            interpret=True)
+        # the budgets path trims the slot axis to max(budgets)
+        assert got.score.shape == (4, max(budgets))
+        for lvl in range(2):
+            k_l = budgets[lvl]
+            for i in range(b):
+                p = lvl * b + i
+                fs = np.asarray(flat.score[p])
+                fx = np.asarray(flat.xy[p])
+                gs = np.asarray(got.score[p])
+                gx = np.asarray(got.xy[p])
+                fv = np.asarray(flat.valid[p])
+                # within the budget: identical candidates in order
+                n_cand = min(k_l, int(fv.sum()))
+                assert n_cand > 5, (lvl, i, n_cand)
+                np.testing.assert_array_equal(gs[:n_cand], fs[:n_cand])
+                np.testing.assert_array_equal(gx[:n_cand], fx[:n_cand])
+                # past the budget: everything invalid
+                assert not np.asarray(got.valid[p])[k_l:].any()
+                assert not np.asarray(got.valid[p])[n_cand:k_l].any()
