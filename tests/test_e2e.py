@@ -20,15 +20,18 @@ pytestmark = pytest.mark.slow  # long jit compiles; excluded from the fast tier
 
 @pytest.fixture(scope="module")
 def run_result():
-    """Flagship configuration: keyframe full BA on (landmark refinement, the
-    upgrade over the reference's landmarks-fixed motion-only BA)."""
+    """PRODUCTION configuration (round 5): landmarks-fixed motion-only BA
+    with the true-robust-cost LM, marginalization prior, gravity
+    refinement, and the warm-first recovery policy — exactly what the
+    replay CLIs run. (Rounds 2-4 pinned full_ba_keyframes=True here; see
+    test_full_ba_e2e_quality for why that is no longer the flagship.)
+    Measured on this fixture: ATE 1.30 %, |bg| 0.0026, |ba| 0.67."""
     cfg = sim_config(
         keyframe_rotation=0.1,
         keyframe_translation=0.15,
-        full_ba_keyframes=True,
     )
     sim = StereoInertialSim(cfg, n_landmarks=150)
-    slam = VisualInertialSLAM(cfg, verbose=False, reinit_on_bias_corruption=False)
+    slam = VisualInertialSLAM(cfg, verbose=False)
     gt = sim.run(slam, duration=5.0)
     return slam, gt
 
