@@ -114,10 +114,7 @@ def main():
     for family, seed, duration in runs:
         t0 = time.time()
         extra = {}
-        # qualify non-default kernel dtypes against the e2e gates, e.g.
-        # CHIP_ACC_SAMPLE_DTYPE=bf16 python benchmarks/chip_accuracy.py
-        if os.environ.get("CHIP_ACC_SAMPLE_DTYPE"):
-            extra["sample_dtype"] = os.environ["CHIP_ACC_SAMPLE_DTYPE"]
+        # qualify non-default kernel dtypes against the e2e gates
         if os.environ.get("CHIP_ACC_SELECT_DTYPE"):
             extra["select_dtype"] = os.environ["CHIP_ACC_SELECT_DTYPE"]
         # kernel-backend escape hatches for accuracy bisects (xla routes
@@ -197,7 +194,12 @@ def main():
         "backend": backend,
         # provenance: the artifact is the qualification record for kernel
         # dtype defaults — record exactly what was run (ADVICE r3)
-        "sample_dtype": cfg.sample_dtype,
+        # the bf16 sampler-canvas config knob was REMOVED in round 5 after
+        # failing qualification twice (CHIP_ACCURACY_BF16_r05.json: seed 2
+        # ATE 4.43 % > 4.0 gate, |ba| 1.63; round-4 bisect: doubled a
+        # cliff seed's ATE). The kernel capability remains under
+        # interpret-mode test for future hardware.
+        "sample_dtype": "f32",
         "select_dtype": cfg.select_dtype,
         "git_sha": sha,
         "pass": bool(passed),

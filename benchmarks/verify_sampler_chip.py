@@ -92,8 +92,9 @@ def main():
     assert mm < 5e-3, mm
     print(f"extract_batch(2) xla: {tx:.2f} ms   pallas: {tp:.2f} ms")
 
-    # bf16-canvas characterization (opt-in alternative — the production
-    # default is f32 pending CHIP_ACCURACY re-qualification): angle noise is
+    # bf16-canvas characterization (kernel capability only — the config
+    # knob was REMOVED in round 5 after failing the full CHIP_ACCURACY
+    # protocol twice, CHIP_ACCURACY_BF16_r05.json): angle noise is
     # bounded only loosely (weak-gradient patches move up to ~2.5e-2 rad —
     # BRIEF tolerates degrees); descriptors must still agree away from ties.
     fb, tb = run(cfg_p._replace(sample_dtype="bf16"))

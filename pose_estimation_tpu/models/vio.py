@@ -176,7 +176,6 @@ def build_constants(cfg: VIOConfig, cm: CameraModel, dtype=jnp.float32):
             fast_backend=fast_backend,
             sample_backend=sample_backend,
             select_dtype=cfg.select_dtype,
-            sample_dtype=cfg.sample_dtype,
         ),
         match_ratio=cfg.match_ratio,
         min_match_dist=cfg.min_match_dist,

@@ -200,17 +200,16 @@ class OrbConfig(NamedTuple):
     # accuracy owns the default.
     select_dtype: str = "f32"
     # HBM dtype of the fused sampler's patch canvas ("f32" or "bf16").
-    # bf16 halves the canvas footprint / per-keypoint window loads and
-    # the distance to the 2^31-byte buffer ceiling at B>=64 batched
-    # extraction (the batched custom-vmap rule splits lane groups to stay
-    # under it either way); pixels upcast to f32 in-kernel. DEFAULT IS
-    # f32: the bf16 flip was
-    # never qualified by a passing chip e2e artifact (ADVICE r3), and the
-    # round-4 bisect measured it DOUBLING the error on a cliff seed
-    # (no-recovery seed 2: ATE 4.5 % f32 -> 8.2 % bf16; the <= 0.5-
-    # intensity descriptor rounding is benign, but the ~1e-3 rad IC-angle
-    # noise perturbs matching enough to matter on marginal basins).
-    # Re-qualify against CHIP_ACCURACY gates before flipping.
+    # bf16 halves the canvas footprint / per-keypoint window loads
+    # (+~21 f/s at B=128), pixels upcast to f32 in-kernel. QUALIFIED
+    # NEGATIVE and removed from the production config in round 5: the
+    # full CHIP_ACCURACY protocol (3 famA seeds + 2 famB 12-s) failed on
+    # seed 2 (ATE 4.43 % > 4.0 gate, |ba| 1.63 —
+    # CHIP_ACCURACY_BF16_r05.json), consistent with the round-4 bisect
+    # (doubled a cliff seed's ATE: the ~1e-3 rad IC-angle noise perturbs
+    # matching on marginal basins). The kernel capability stays under
+    # interpret-mode test (test_pallas_sample) for future hardware where
+    # the accuracy/bandwidth trade-off may differ.
     sample_dtype: str = "f32"
 
 

@@ -235,11 +235,6 @@ class VIOConfig:
     # score-chain compute dtype of the fused select kernel ("bf16"/"f32"):
     # see ops.orb.OrbConfig.select_dtype
     select_dtype: str = "f32"
-    # HBM dtype of the fused sampler's patch canvas ("bf16"/"f32"):
-    # see ops.orb.OrbConfig.sample_dtype (f32 until a bf16 run passes the
-    # CHIP_ACCURACY gates — round-4 bisect: bf16 doubled a cliff seed's
-    # ATE; ADVICE r3 flagged the unqualified flip)
-    sample_dtype: str = "f32"
 
     @property
     def profile(self) -> DatasetProfile:
