@@ -367,3 +367,39 @@ def solve_acc_bias(R, v, p, ics, gravity, max_iterations: int = 50):
         lm_mod.LMOptions(max_iterations=max_iterations),
     )
     return x, info
+
+
+@full_precision
+def full_init(R, p, ics, unit_g, axes, gravity):
+    """All four init solves fused into ONE jittable program.
+
+    The orchestration of `visual-inertial-slam.cpp:68-110` over the solver
+    bodies of `optimizer.cpp:183-329`: gyr bias -> repropagate ->
+    gravity+velocity -> world alignment -> acc bias -> repropagate. Run
+    eagerly (as the host FSM did through round 4) the per-solver dispatch
+    chain costs 2-5 s per (re)initialization on the tunneled chip; fused
+    it is one dispatch. Plausibility gating on the returned scalars stays
+    on the host (slam._initialize).
+
+    Returns (R', v', p', dbg, dba, g_est, ics') — states world-aligned,
+    constraints repropagated to the solved biases.
+    """
+    import jax as _jax
+
+    from pose_estimation_tpu.imu.preintegration import repropagate
+    from pose_estimation_tpu.utils import lie as _lie
+
+    dtype = R.dtype
+    zero3 = jnp.zeros(3, dtype)
+    dbg, _ = solve_gyr_bias(R, ics)
+    ics = _jax.vmap(repropagate, in_axes=(0, None, None))(ics, dbg, zero3)
+    g_est, v, _ = solve_gravity_velocity(R, p, ics)
+    init_g_unit = g_est / jnp.maximum(jnp.linalg.norm(g_est), 1e-12)
+    delta_r, _ = solve_alignment(init_g_unit, unit_g, axes)
+    d_rm = _lie.so3_exp(delta_r)
+    R = d_rm[None] @ R
+    v = jnp.einsum("ij,wj->wi", d_rm, v)
+    p = jnp.einsum("ij,wj->wi", d_rm, p)
+    dba, _ = solve_acc_bias(R, v, p, ics, gravity)
+    ics = _jax.vmap(repropagate, in_axes=(0, None, None))(ics, zero3, dba)
+    return R, v, p, dbg, dba, g_est, ics

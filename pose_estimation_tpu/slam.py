@@ -198,6 +198,12 @@ class VisualInertialSLAM:
             gravity=jnp.asarray(cfg.gravity, dtype),
             sigma_tilt=refine_sigmas[0], sigma_dba=refine_sigmas[1],
         ))
+        self._full_init_jit = jax.jit(functools.partial(
+            init_solvers.full_init,
+            unit_g=jnp.asarray(profile.gravity_dir, dtype),
+            axes=profile.alignment_axes,
+            gravity=jnp.asarray(cfg.gravity, dtype),
+        ))
         # warm-recovery variant: same solver, regularizers opened up — the
         # corrupted-bias basin is a ~5-10 deg gravity tilt with |dba| ~ 1,
         # exactly what the routine-upkeep sigmas are tuned to reject
@@ -579,14 +585,12 @@ class VisualInertialSLAM:
         v = jnp.zeros((w, 3), self._dtype)
         ics = jax.tree.map(lambda *a: jnp.stack(a), *self._sfm_ics)
 
-        # 1. gyroscope bias
-        dbg, _ = init_solvers.solve_gyr_bias(R, ics)
+        # all 4 init solves + repropagations + world alignment in ONE
+        # jitted dispatch (init_solvers.full_init; the eager chain cost
+        # 2-5 s per (re)initialization on the tunneled chip)
+        R, v, p, dbg, dba, g_est, ics = self._full_init_jit(R, p, ics)
         new_bg = self.vio.bg + dbg
-        ics = jax.vmap(pre.repropagate, in_axes=(0, None, None))(
-            ics, dbg, jnp.zeros(3, self._dtype)
-        )
-        # 2. gravity + velocities (in the SfM/initial-body frame)
-        g_est, v, _ = init_solvers.solve_gravity_velocity(R, p, ics)
+        new_ba = self.vio.ba + dba
         # plausibility gates: a degenerate SfM chain produces unphysical
         # gravity/velocities; retry the bootstrap rather than enter OK with
         # a poisoned state (the reference has no such guard)
@@ -601,25 +605,6 @@ class VisualInertialSLAM:
                 print(f"[slam] init rejected (|g|={g_norm:.2f}, vmax={v_max:.2f}); retrying SFM")
             self._relocalize(img_l, img_r)
             return
-        init_g_unit = g_est / jnp.linalg.norm(g_est)
-        # 3. alignment: rotate world so gravity matches the dataset axis
-        profile = self.cfg.profile
-        unit_g = jnp.asarray(profile.gravity_dir, self._dtype)
-        delta_r, _ = init_solvers.solve_alignment(
-            init_g_unit, unit_g, profile.alignment_axes
-        )
-        dR = lie.so3_exp(delta_r)
-        R = dR[None] @ R
-        v = jnp.einsum("ij,wj->wi", dR, v)
-        p = jnp.einsum("ij,wj->wi", dR, p)
-        # 4. accelerometer bias
-        dba, _ = init_solvers.solve_acc_bias(
-            R, v, p, ics, jnp.asarray(self.cfg.gravity, self._dtype)
-        )
-        new_ba = self.vio.ba + dba
-        ics = jax.vmap(pre.repropagate, in_axes=(0, None, None))(
-            ics, jnp.zeros(3, self._dtype), dba
-        )
         if self.verbose:
             print(f"[slam] init: bg={np.asarray(new_bg)} ba={np.asarray(new_ba)}")
             print(f"[slam] init: gravity(initial frame)={np.asarray(g_est)}")
