@@ -896,6 +896,8 @@ class VisualInertialSLAM:
             "imu_data": [list(map(float, row)) for row in self._imu_data],
             # health/refinement host state (exact-resume parity)
             "low_track_streak": self._low_track_streak,
+            "corrupt_streak": self._corrupt_streak,
+            "warm_streak": self._warm_streak,
             "kfs_since_refine": self._kfs_since_refine,
             "kf_hist": [ser(h) for h in self._kf_hist],
             "pending_health": [
@@ -918,6 +920,8 @@ class VisualInertialSLAM:
         self._imu_ts = [int(t) for t in meta.get("imu_ts", [])]
         self._imu_data = [np.asarray(r, np.float64) for r in meta.get("imu_data", [])]
         self._low_track_streak = int(meta.get("low_track_streak", 0))
+        self._corrupt_streak = int(meta.get("corrupt_streak", 0))
+        self._warm_streak = int(meta.get("warm_streak", 0))
         self._kfs_since_refine = int(meta.get("kfs_since_refine", 0))
 
         win = self.vio.win

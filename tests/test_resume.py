@@ -21,9 +21,21 @@ class TestResume:
         path = str(tmp_path / "ck.npz")
         slam.save_checkpoint(path)
 
+        # recovery-policy counters must survive the round trip (exact-
+        # resume parity: a resumed run must make the same defer/warm/cold
+        # decisions as the uninterrupted one)
+        slam._corrupt_streak = 1
+        slam._warm_streak = 2
+        slam.save_checkpoint(path)
+
         slam2 = VisualInertialSLAM(cfg, seed=5, reinit_on_bias_corruption=False)
         slam2.load_checkpoint(path)
         assert slam2.state == State.OK
+        assert slam2._corrupt_streak == 1 and slam2._warm_streak == 2
+        slam._corrupt_streak = 0
+        slam._warm_streak = 0
+        slam2._corrupt_streak = 0
+        slam2._warm_streak = 0
         for a, b in zip(jax.tree.leaves(slam.vio), jax.tree.leaves(slam2.vio)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
