@@ -122,6 +122,68 @@ def load_problem(path: Path):
     return win, obs, (fx, fy, cx, cy, isx, isy), gravity, prior
 
 
+def run_init_oracle(a, win, gravity):
+    """Init-solver oracle (optimizer.cpp:183-329): the 4 initial* Ceres
+    problems on the recorded chain vs backend/init_solvers on the same
+    arrays. Returns the comparison dict."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pose_estimation_tpu.backend import init_solvers
+    from pose_estimation_tpu.imu.preintegration import repropagate
+    from pose_estimation_tpu.utils import lie
+
+    R = win.R[1:]
+    p = win.p[1:]
+    ics = jax.tree.map(lambda x: x[1:], win.ics)
+    dbg, _ = init_solvers.solve_gyr_bias(R, ics)
+    ics2 = jax.vmap(repropagate, in_axes=(0, None, None))(
+        ics, dbg, jnp.zeros(3, jnp.float64))
+    g_est, v, _ = init_solvers.solve_gravity_velocity(R, p, ics2)
+    unit_g = jnp.asarray(gravity) / np.linalg.norm(gravity)
+    delta_r, _ = init_solvers.solve_alignment(
+        g_est / jnp.linalg.norm(g_est), unit_g, (1, 2))
+    d_rm = lie.so3_exp(delta_r)
+    R2 = d_rm[None] @ R
+    v2 = jnp.einsum("ij,wj->wi", d_rm, v)
+    p2 = jnp.einsum("ij,wj->wi", d_rm, p)
+    dba, _ = init_solvers.solve_acc_bias(R2, v2, p2, ics2,
+                                         jnp.asarray(gravity))
+
+    env = dict(os.environ, ORACLE_INIT="1")
+    proc = subprocess.run(
+        [a.oracle_bin, a.config, a.problem], capture_output=True, text=True,
+        timeout=300, env=env,
+    )
+    cer = {"v": {}}
+    for line in proc.stdout.splitlines():
+        if not line.startswith("ORACLE_INIT"):
+            continue
+        parts = line.split()
+        if parts[1] == "v":
+            cer["v"][int(parts[2])] = [float(x) for x in parts[3:]]
+        else:
+            cer[parts[1]] = [float(x) for x in parts[2:]]
+    assert "dba" in cer, proc.stdout[-1500:]
+    v_cer = np.stack([cer["v"][i] for i in sorted(cer["v"])])
+    ours_dr = np.asarray(delta_r)[1:3]          # euroc axes (1, 2)
+    return {
+        "dbg_diff": float(np.max(np.abs(np.asarray(dbg) - cer["dbg"]))),
+        "g_diff": float(np.max(np.abs(np.asarray(g_est) - cer["g"]))),
+        "v_diff": float(np.max(np.abs(np.asarray(v) - v_cer))),
+        "delta_r_diff": float(np.max(np.abs(ours_dr - cer["delta_r"]))),
+        "dba_diff": float(np.max(np.abs(np.asarray(dba) - cer["dba"]))),
+        "ceres": {k: v for k, v in cer.items() if k != "v"},
+        "ours": {
+            "dbg": np.asarray(dbg).tolist(), "g": np.asarray(g_est).tolist(),
+            "delta_r": ours_dr.tolist(), "dba": np.asarray(dba).tolist(),
+        },
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--problem", default="/tmp/refwork/ba_problem.txt")
@@ -195,7 +257,9 @@ def main(argv=None):
         np.asarray(ours["delta_v_dbga"]) - np.asarray(ceres["delta_v_dbga"]))))
     cost_rel = abs(ours["final_cost"] - ceres["final_cost"]) / ceres["final_cost"]
 
+    init_cmp = run_init_oracle(a, win, gravity)
     result = {
+        "init_solvers": init_cmp,
         "ours": ours,
         "ceres": {k: v for k, v in ceres.items()
                   if k in ("initial_cost", "final_cost", "iterations",
@@ -216,6 +280,9 @@ def main(argv=None):
           f"{ceres['final_cost']:.4f} in {ceres['iterations']} iters")
     print(f"max |dpose diff| {dp_err:.2e}  max |dvdbga diff| {dv_err:.2e}  "
           f"final cost rel diff {cost_rel:.2e}")
+    print("init solvers vs Ceres: " + "  ".join(
+        f"{k}={init_cmp[k]:.2e}" for k in
+        ("dbg_diff", "g_diff", "v_diff", "delta_r_diff", "dba_diff")))
     return 0 if (cost_rel < 5e-3) else 1
 
 

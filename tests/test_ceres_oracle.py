@@ -34,6 +34,13 @@ def test_ceres_oracle_artifact():
     # on the Huber-IRLS tail (the round-4 "cap pinning" was reference
     # behavior, not a convergence bug)
     assert abs(d["ours"]["iterations"] - d["ceres"]["iterations"]) <= 3, d
+    # the 4 init solvers (optimizer.cpp:183-329) vs the real Ceres on the
+    # same recorded chain
+    ini = d.get("init_solvers")
+    if ini:
+        for k in ("dbg_diff", "g_diff", "v_diff", "delta_r_diff",
+                  "dba_diff"):
+            assert ini[k] < 1e-5, (k, ini[k])
 
 
 def test_ceres_oracle_live():

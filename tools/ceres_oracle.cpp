@@ -120,6 +120,89 @@ int main(int argc, char** argv) {
         pMap->_frames[o.slot].push_back(std::make_shared<MapPoint>(
             o.id, cv::Point2d(o.px, o.py), Eigen::Vector3d(o.X, o.Y, o.Z)));
 
+    // ---- init-solver oracle mode (optimizer.cpp:183-329) --------------
+    // Chain = active frames 1..W with constraints ics[1..W-1] (reference
+    // initial* solvers run over _R[0..W-1] + _imuConstraint[0..W-2]).
+    if (getenv("ORACLE_INIT")) {
+        int W2 = (int)pMap->_R.size() - 1;
+        std::vector<Sophus::SO3d> Rv;
+        std::vector<Eigen::Vector3d> pv, vv(W2, Eigen::Vector3d::Zero());
+        std::vector<cfsd::Ptr<ImuConstraint>> icv;
+        for (int i = 1; i <= W2; i++) { Rv.push_back(pMap->_R[i]); pv.push_back(pMap->_p[i]); }
+        for (int i = 1; i < W2; i++) icv.push_back(pMap->_imuConstraint[i]);
+        ceres::Solver::Options opt;
+        opt.linear_solver_type = ceres::DENSE_QR;
+        ceres::Solver::Summary sm;
+        std::cout.precision(17);
+        // 1. gyr bias (initialGyrBias, optimizer.cpp:183-206)
+        double dbg[3] = {0, 0, 0};
+        {
+            ceres::Problem pr;
+            for (int i = 0; i + 1 < W2; i++)
+                pr.AddResidualBlock(new cfsd::BiasGyrCostFunction(icv[i], Rv[i], Rv[i+1]),
+                                    new ceres::HuberLoss(1.0), dbg);
+            ceres::Solve(opt, &pr, &sm);
+        }
+        std::cout << "ORACLE_INIT dbg " << dbg[0] << " " << dbg[1] << " " << dbg[2] << std::endl;
+        Eigen::Vector3d dbg_v(dbg[0], dbg[1], dbg[2]);
+        // Map::repropagate (map.cpp:72-81) on the local chain
+        for (auto& ic : icv) {
+            Eigen::Vector3d zero = Eigen::Vector3d::Zero();
+            ic = std::make_shared<ImuConstraint>(
+                ic->invCovPreintegration_ij, ic->bg_i + dbg_v, ic->ba_i,
+                ic->delta_R_ij * Sophus::SO3d::exp(ic->d_R_bg_ij * dbg_v),
+                ic->delta_v_ij + ic->d_v_bg_ij * dbg_v,
+                ic->delta_p_ij + ic->d_p_bg_ij * dbg_v,
+                ic->d_R_bg_ij, ic->d_v_bg_ij, ic->d_v_ba_ij,
+                ic->d_p_bg_ij, ic->d_p_ba_ij, ic->dt);
+        }
+        // 2. gravity + velocities (initialGravityVelocity, :209-240)
+        double dg[3] = {0, 0, 0};
+        std::vector<std::array<double, 3>> dv(W2, {0, 0, 0});
+        {
+            ceres::Problem pr;
+            for (int i = 0; i + 1 < W2; i++)
+                pr.AddResidualBlock(new cfsd::GravityVelocityCostFunction(icv[i], Rv[i], pv[i], pv[i+1]),
+                                    new ceres::HuberLoss(1.0),
+                                    dg, dv[i].data(), dv[i+1].data());
+            ceres::Solve(opt, &pr, &sm);
+        }
+        std::cout << "ORACLE_INIT g " << dg[0] << " " << dg[1] << " " << dg[2] << std::endl;
+        for (int i = 0; i < W2; i++)
+            std::cout << "ORACLE_INIT v " << i << " " << dv[i][0] << " " << dv[i][1] << " " << dv[i][2] << std::endl;
+        Eigen::Vector3d g_est(dg[0], dg[1], dg[2]);
+        for (int i = 0; i < W2; i++) vv[i] = Eigen::Vector3d(dv[i][0], dv[i][1], dv[i][2]);
+        // 3. alignment (initialAlignment, :243-304; EUROC rotvec = (0, r0, r1))
+        double dr[2] = {0, 0};
+        {
+            ceres::Problem pr;
+            pr.AddResidualBlock(new cfsd::AlignmentCostFunction(g_est / g_est.norm(), gravity / gravity.norm()),
+                                nullptr, dr);
+            ceres::Solve(opt, &pr, &sm);
+        }
+        std::cout << "ORACLE_INIT delta_r " << dr[0] << " " << dr[1] << std::endl;
+        Sophus::SO3d dRw = Sophus::SO3d::exp(Eigen::Vector3d(0.0, dr[0], dr[1]));
+        for (int i = 0; i < W2; i++) {
+            Rv[i] = dRw * Rv[i];
+            vv[i] = dRw.matrix() * vv[i];
+            pv[i] = dRw.matrix() * pv[i];
+        }
+        // 4. acc bias (initialAccBias, :307-329 — NOTE: the reference
+        // passes the preintegrator's LAST constraint `_ic` for every pair,
+        // an evident indexing slip; per-pair icv[i] is used here, matching
+        // the loop intent and our solver)
+        double dba[3] = {0, 0, 0};
+        {
+            ceres::Problem pr;
+            for (int i = 0; i + 1 < W2; i++)
+                pr.AddResidualBlock(new cfsd::AccCostFunction(icv[i], Rv[i], vv[i], vv[i+1], pv[i], pv[i+1], gravity),
+                                    new ceres::HuberLoss(1.0), dba);
+            ceres::Solve(opt, &pr, &sm);
+        }
+        std::cout << "ORACLE_INIT dba " << dba[0] << " " << dba[1] << " " << dba[2] << std::endl;
+        return 0;
+    }
+
     // ---- the reference's motionOnlyBA construction (optimizer.cpp:16-161)
     const int WINDOW = W;
     std::vector<std::vector<double>> delta_pose(WINDOW, std::vector<double>(6, 0));
