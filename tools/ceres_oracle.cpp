@@ -16,6 +16,8 @@
 //       -o $WORK/ceres_oracle
 //
 // Usage: ceres_oracle <euroc_sim.yml> <ba_problem.txt>
+//        ORACLE_INIT=1 ceres_oracle ...   -> solve the four initial*
+//        problems (optimizer.cpp:183-329) on the recorded chain instead
 
 #include "cfsd/config.hpp"
 #include "cfsd/camera-model.hpp"
