@@ -47,7 +47,10 @@ def test_profile_e2e(dataset):
     win = slam.vio.win
     bg = float(np.linalg.norm(np.asarray(win.ics.bg_i[-1] + win.dbg[-1])))
     ba = float(np.linalg.norm(np.asarray(win.ics.ba_i[-1] + win.dba[-1])))
-    # same gate family as the euroc chip protocol (benchmarks/chip_accuracy)
-    assert ate_pct < 7.0, (dataset, ate_pct)
+    # same gate family as the euroc chip protocol (benchmarks/chip_accuracy
+    # round 5): ATE 4.0; |ba| 1.5 — the warm recovery policy DEFERS
+    # corrections whose solve would grow |ba|, so elevated-but-bounded
+    # tilt-absorbing bias with tight ATE is an accepted state
+    assert ate_pct < 4.0, (dataset, ate_pct)
     assert bg < 0.01, (dataset, bg)
-    assert ba < 1.0, (dataset, ba)
+    assert ba < 1.5, (dataset, ba)
